@@ -1,0 +1,203 @@
+"""Fisher-information diagonal via an analytic squared backward pass.
+
+The reference computes diag(JᵀJ) by running its CUDA backward with
+`grad_power=2`: every *per-pixel* gradient contribution — chained all the
+way to mean3D/opacity — is squared before atomic accumulation (reference
+cuda_rasterizer/backward.cu:1093-1137 and diff_gaussian_rasterization/
+__init__.py backward_power; consumed by models/SLAM/gaussian.py:1503
+compute_Hessian with an incoming cotangent of 1e-3 per pixel).
+
+TPU design: instead of replaying autodiff with modified accumulation, the
+per-(Gaussian, pixel) color gradient is computed analytically inside the
+same chunked tile scan as the forward pass, squared, and summed over
+pixels.  Two passes over the depth chunks:
+
+  pass 1 — forward blend for the per-pixel total color (needed for the
+           suffix term in d(color)/d(alpha));
+  pass 2 — re-walk front-to-back, reconstructing per-pair transmittance and
+           inclusive color prefixes, producing per-pair gradients:
+             dL/dα    = Σ_ch g_ch (T·c_ch − S_behind_ch / (1−α))
+             dL/do    = G · dL/dα
+             dL/dμ2d  = o · dL/dα · ∇G
+             dL/dμcam = Jᵀ_proj · dL/dμ2d        (projection chain)
+           each squared per pixel, then segment-summed into the (N, 4)
+           Hessian diagonal [mean_cam x, y, z, opacity].
+
+vmap over candidate poses turns the reference's per-pose Python loop
+(gaussian.py:1362) into one batched XLA launch.
+
+Parity notes: the cov2D-through-mean chain (computeCov2DCUDA's dL_dmean
+term) and the scale/rotation outputs are not yet included — the projection
+chain dominates the mean Hessian and opacity is exact; scores are used only
+to *rank* candidate views.  The incoming cotangent (1e-3) and black
+background match compute_Hessian exactly (bg term vanishes for bg=0).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import tile_bin
+from .camera import Camera
+from .projection import preprocess
+from .rasterize import RenderSettings
+
+
+def _chunk_gather(prep, bins, opacities, colors, means_cam, idx):
+    mu = prep.mean2d[idx]
+    con = prep.conic[idx]
+    opa = opacities[idx]
+    col = colors[idx]
+    dep = prep.depth[idx]
+    mc = means_cam[idx]
+    return mu, con, opa, col, dep, mc
+
+
+def _pair_alpha(mu, con, opa, sval, pix_x, pix_y):
+    dx = mu[:, :, 0:1] - pix_x[:, None, :]
+    dy = mu[:, :, 1:2] - pix_y[:, None, :]
+    a, b, c = con[:, :, 0:1], con[:, :, 1:2], con[:, :, 2:3]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    inside = power <= 0.0
+    g = jnp.exp(jnp.where(inside, power, 0.0))
+    alpha = jnp.minimum(0.99, opa[:, :, None] * g)
+    live = inside & sval[:, :, None] & (alpha >= 1.0 / 255.0)
+    alpha = jnp.where(live, alpha, 0.0)
+    g = jnp.where(live, g, 0.0)
+    return alpha, g, dx, dy
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings"))
+def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
+                grad_value: float = 1e-3, active=None,
+                settings: RenderSettings = RenderSettings()):
+    """diag Fisher H for each Gaussian: (N, 4) = [∂μcam (3), ∂opacity (1)].
+
+    Matches reference compute_Hessian's output layout
+    (models/SLAM/gaussian.py:1554-1560: concat of transformed-means grad and
+    opacity grad under backward_power=2, cotangent 1e-3).
+    Also returns radii (N,) for the `visible = radius > 0` mask.
+    """
+    st = settings
+    n = means_cam.shape[0]
+    prep = preprocess(means_cam, scales, quats, camera, active=active)
+    bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                    camera.width, camera.height, st.tile_size, st.max_per_tile)
+
+    ts = st.tile_size
+    ntx, nty = bins.n_tiles_x, bins.n_tiles_y
+    n_tiles = ntx * nty
+    p = ts * ts
+    n_chunks = st.max_per_tile // st.chunk
+    cch = colors.shape[-1]
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    lx = jnp.tile(jnp.arange(ts, dtype=jnp.float32), (ts,))
+    ly = jnp.repeat(jnp.arange(ts, dtype=jnp.float32), ts)
+    pix_x = ((tile_ids % ntx) * ts)[:, None].astype(jnp.float32) + lx[None, :]
+    pix_y = ((tile_ids // ntx) * ts)[:, None].astype(jnp.float32) + ly[None, :]
+
+    k0s = jnp.arange(n_chunks, dtype=jnp.int32) * st.chunk
+
+    # ---- pass 1: record per-chunk starting transmittance ------------------
+    @jax.checkpoint
+    def fwd_step(t_carry, k0):
+        idx = jax.lax.dynamic_slice(bins.table, (0, k0), (n_tiles, st.chunk))
+        sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
+        mu, con, opa, _col, _dep, _mc = _chunk_gather(prep, bins, opacities,
+                                                      colors, means_cam, idx)
+        alpha, _g, _dx, _dy = _pair_alpha(mu, con, opa, sval, pix_x, pix_y)
+        cum_last = jnp.prod(1.0 - alpha, axis=1)
+        return t_carry * cum_last, t_carry
+
+    t0 = jnp.ones((n_tiles, p), jnp.float32)
+    _tf, t_starts = jax.lax.scan(fwd_step, t0, k0s)   # (n_chunks, T, P)
+
+    # ---- pass 2: reverse walk, per-pair squared gradients -----------------
+    # Processing chunks back-to-front makes the suffix color S_behind a pure
+    # additive accumulation (no catastrophic total-minus-prefix cancellation;
+    # same walk direction as backward.cu:980 renderCUDA backward).
+    fx, fy = camera.fx, camera.fy
+
+    @jax.checkpoint
+    def bwd_step(carry, inp):
+        s_behind_carry, h_acc = carry
+        k0, t_start = inp
+        idx = jax.lax.dynamic_slice(bins.table, (0, k0), (n_tiles, st.chunk))
+        sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
+        mu, con, opa, col, _dep, mc = _chunk_gather(prep, bins, opacities,
+                                                    colors, means_cam, idx)
+        alpha, g, dx, dy = _pair_alpha(mu, con, opa, sval, pix_x, pix_y)
+
+        one_minus = 1.0 - alpha
+        cum = jnp.cumprod(one_minus, axis=1)
+        cum_excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        t_before = t_start[:, None, :] * cum_excl              # (T, CH, P)
+        w = alpha * t_before
+
+        # suffix color sums: within-chunk reversed cumsum + carry from the
+        # chunks behind; (T, CH, P, C)
+        contrib = w[..., None] * col[:, :, None, :]
+        suffix_inc = jnp.flip(jnp.cumsum(jnp.flip(contrib, axis=1), axis=1), axis=1)
+        s_behind = (suffix_inc - contrib) + s_behind_carry[:, None, :, :]
+
+        inv_om = 1.0 / jnp.maximum(one_minus, 1e-2)            # alpha <= 0.99
+        # dL/dalpha with uniform per-channel cotangent `grad_value`
+        dl_da = grad_value * jnp.sum(
+            t_before[..., None] * col[:, :, None, :] - s_behind * inv_om[..., None],
+            axis=-1)
+        dl_da = jnp.where(alpha > 0.0, dl_da, 0.0)             # (T, CH, P)
+
+        dl_do = g * dl_da
+        dl_dg = opa[:, :, None] * dl_da
+        a, b, c = con[:, :, 0:1], con[:, :, 1:2], con[:, :, 2:3]
+        dg_dmx = -g * (a * dx + b * dy)       # ∂G/∂μ2d_x (= -∂G/∂pix_x)
+        dg_dmy = -g * (c * dy + b * dx)
+        dl_dmx = dl_dg * dg_dmx
+        dl_dmy = dl_dg * dg_dmy
+
+        # projection chain to camera-frame mean
+        z = jnp.maximum(mc[:, :, 2], 1e-6)[:, :, None]
+        gx = dl_dmx * (fx / z)
+        gy = dl_dmy * (fy / z)
+        gz = -(dl_dmx * fx * mc[:, :, 0:1] + dl_dmy * fy * mc[:, :, 1:2]) / (z * z)
+
+        # square per pixel, sum over pixels -> (T, CH, 4)
+        h_pair = jnp.stack([
+            jnp.sum(gx * gx, axis=-1),
+            jnp.sum(gy * gy, axis=-1),
+            jnp.sum(gz * gz, axis=-1),
+            jnp.sum(dl_do * dl_do, axis=-1),
+        ], axis=-1)
+        h_pair = jnp.where(sval[:, :, None], h_pair, 0.0)
+        h_acc = h_acc.at[idx.reshape(-1)].add(
+            h_pair.reshape(-1, 4), mode="drop")
+
+        s_behind_carry = s_behind_carry + jnp.sum(contrib, axis=1)
+        return (s_behind_carry, h_acc), None
+
+    h0 = jnp.zeros((n, 4), jnp.float32)
+    s0 = jnp.zeros((n_tiles, p, cch), jnp.float32)
+    (_sb, h), _ = jax.lax.scan(bwd_step, (s0, h0),
+                               (jnp.flip(k0s), jnp.flip(t_starts, axis=0)))
+    return dict(H=h, radii=prep.radius, visible=prep.radius > 0)
+
+
+def fisher_diag_batch(camera: Camera, w2cs, means_world, scales, quats,
+                      opacities, colors, grad_value: float = 1e-3,
+                      active=None, settings: RenderSettings = RenderSettings()):
+    """vmap fisher_diag over a batch of world->camera poses.
+
+    Replaces the reference's sequential per-candidate loop
+    (gaussian.py:1362 `for cam_id, c2w in enumerate(poses)`).
+    w2cs: (B, 4, 4).  Returns H: (B, N, 4), visible: (B, N).
+    """
+    def one(w2c):
+        mc = means_world @ w2c[:3, :3].T + w2c[:3, 3]
+        return fisher_diag(camera, mc, scales, quats, opacities, colors,
+                           grad_value=grad_value, active=active,
+                           settings=settings)
+    return jax.vmap(one)(w2cs)

@@ -1,0 +1,167 @@
+"""Tile-based 3DGS forward rasterizer (pure XLA, jit/vmap-able, differentiable).
+
+TPU re-design of the reference CUDA renderer (reference
+cuda_rasterizer/forward.cu:300-393 renderCUDA + rasterizer_impl.cu
+orchestration).  Key moves:
+
+  * binning is gather-based with static shapes (ops/binning.py);
+  * per-tile front-to-back alpha blending runs as a `lax.scan` over
+    fixed-size depth chunks; the (chunk x pixels) color accumulation is an
+    einsum that lands on the MXU;
+  * transmittance is a carried product; the "median depth" output (depth at
+    the T=0.5 crossing, 15.0 fallback — forward.cu:363-371) and final
+    transmittance (silhouette) come from the same scan;
+  * JAX AD through the scan replaces the hand-written CUDA backward for the
+    mapping/tracking losses (`jax.checkpoint` keeps residual memory flat);
+    the Fisher-specific squared backward lives in ops/fisher.py.
+
+Numerical parity notes vs CUDA: alpha is clamped to 0.99 and zeroed below
+1/255 exactly as in renderCUDA; the early "done when T < 1e-4" latch is not
+replicated (contributions below that transmittance are < 1e-4 in color and
+the latch would serialize the chunk).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import tile_bin
+from .camera import Camera
+from .projection import preprocess
+
+
+class RenderSettings(NamedTuple):
+    tile_size: int = 16
+    max_per_tile: int = 512
+    chunk: int = 64
+    max_depth: float = 15.0   # median-depth fallback (forward.cu:308)
+
+
+def _blend_tiles(camera: Camera, st: RenderSettings, prep, bins,
+                 opacities, colors):
+    """Front-to-back blend of all tiles.  Returns per-tile-pixel buffers."""
+    ts = st.tile_size
+    ntx, nty = bins.n_tiles_x, bins.n_tiles_y
+    n_tiles = ntx * nty
+    p = ts * ts
+    n_chunks = st.max_per_tile // st.chunk
+    assert n_chunks * st.chunk == st.max_per_tile, "chunk must divide max_per_tile"
+    cch = colors.shape[-1]
+
+    # pixel centers per tile, as float pixel indices (T, P, 2)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_x0 = (tile_ids % ntx) * ts
+    tile_y0 = (tile_ids // ntx) * ts
+    lx = jnp.tile(jnp.arange(ts, dtype=jnp.float32), (ts,))
+    ly = jnp.repeat(jnp.arange(ts, dtype=jnp.float32), ts)
+    pix_x = tile_x0[:, None].astype(jnp.float32) + lx[None, :]
+    pix_y = tile_y0[:, None].astype(jnp.float32) + ly[None, :]
+
+    @jax.checkpoint
+    def chunk_step(carry, k0):
+        t_carry, c_acc, med, has_med = carry
+        idx = jax.lax.dynamic_slice(bins.table, (0, k0), (n_tiles, st.chunk))
+        sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
+
+        mu = prep.mean2d[idx]          # (T, CH, 2)
+        con = prep.conic[idx]          # (T, CH, 3)
+        opa = opacities[idx]           # (T, CH)
+        col = colors[idx]              # (T, CH, C)
+        dep = prep.depth[idx]          # (T, CH)
+
+        dx = mu[:, :, 0:1] - pix_x[:, None, :]     # (T, CH, P)
+        dy = mu[:, :, 1:2] - pix_y[:, None, :]
+        a, b, c = con[:, :, 0:1], con[:, :, 1:2], con[:, :, 2:3]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+        inside = power <= 0.0
+        g = jnp.exp(jnp.where(inside, power, 0.0))
+        alpha = jnp.minimum(0.99, opa[:, :, None] * g)
+        alpha = jnp.where(inside & sval[:, :, None] & (alpha >= 1.0 / 255.0),
+                          alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        cum = jnp.cumprod(one_minus, axis=1)                     # (T, CH, P)
+        cum_excl = jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        t_before = t_carry[:, None, :] * cum_excl
+        w = alpha * t_before                                     # (T, CH, P)
+
+        c_acc = c_acc + jnp.einsum("tkp,tkc->tpc", w, col,
+                                   preferred_element_type=jnp.float32)
+
+        t_after = t_before * one_minus
+        crossing = (t_before > 0.5) & (t_after < 0.5) & (alpha > 0.0)
+        dep_b = jnp.broadcast_to(dep[:, :, None], crossing.shape)
+        dep_cross = jnp.max(jnp.where(crossing, dep_b, -jnp.inf), axis=1)
+        any_cross = jnp.any(crossing, axis=1)
+        med = jnp.where(~has_med & any_cross, dep_cross, med)
+        has_med = has_med | any_cross
+
+        t_carry = t_carry * cum[:, -1, :]
+        return (t_carry, c_acc, med, has_med), None
+
+    t0 = jnp.ones((n_tiles, p), jnp.float32)
+    c0 = jnp.zeros((n_tiles, p, cch), jnp.float32)
+    med0 = jnp.zeros((n_tiles, p), jnp.float32)
+    hm0 = jnp.zeros((n_tiles, p), bool)
+    k0s = jnp.arange(n_chunks, dtype=jnp.int32) * st.chunk
+    (t_final, c_acc, med, has_med), _ = jax.lax.scan(
+        chunk_step, (t0, c0, med0, hm0), k0s)
+    med = jnp.where(has_med, med, st.max_depth)
+    return t_final, c_acc, med
+
+
+def _tiles_to_image(buf, nty, ntx, ts, height, width):
+    """(T, P, ...) tile-pixel buffer -> (H, W, ...) image (crops padding)."""
+    trailing = buf.shape[2:]
+    img = buf.reshape((nty, ntx, ts, ts) + trailing)
+    img = jnp.moveaxis(img, 2, 1).reshape((nty * ts, ntx * ts) + trailing)
+    return img[:height, :width]
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings"))
+def render(camera: Camera, means_cam, scales, quats, opacities, colors,
+           bg=None, active=None, settings: RenderSettings = RenderSettings()):
+    """Render camera-frame Gaussians to an (H, W, C) image.
+
+    Args:
+      means_cam: (N, 3) centers in the camera frame (+z forward).
+      scales:    (N, 3) stddevs (exp of log_scales).
+      quats:     (N, 4) wxyz rotations (world frame, reference quirk).
+      opacities: (N,) post-sigmoid opacities.
+      colors:    (N, C) per-Gaussian channel values ("colors_precomp" —
+                 RGB for the photometric pass, [z, 1, z²] for the
+                 depth/silhouette pass; reference slam_helpers.py:235).
+      bg:        (C,) background color (default zeros).
+      active:    (N,) bool slot mask.
+
+    Returns dict with:
+      color:   (H, W, C) blended channels + T*bg
+      depth:   (H, W) median depth (T=0.5 crossing, 15.0 fallback)
+      final_t: (H, W) final transmittance (1 - alpha coverage)
+      radii:   (N,) screen-space radii (0 = culled; drives "seen" masks)
+      overflow: () count of Gaussians truncated by the per-tile capacity
+    """
+    st = settings
+    prep = preprocess(means_cam, scales, quats, camera, active=active)
+    bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                    camera.width, camera.height, st.tile_size, st.max_per_tile)
+    t_final, c_acc, med = _blend_tiles(camera, st, prep, bins, opacities, colors)
+
+    cch = colors.shape[-1]
+    if bg is None:
+        bg = jnp.zeros((cch,), jnp.float32)
+    out = c_acc + t_final[:, :, None] * bg[None, None, :]
+
+    ts = st.tile_size
+    img = _tiles_to_image(out, bins.n_tiles_y, bins.n_tiles_x, ts,
+                          camera.height, camera.width)
+    depth = _tiles_to_image(med, bins.n_tiles_y, bins.n_tiles_x, ts,
+                            camera.height, camera.width)
+    final_t = _tiles_to_image(t_final, bins.n_tiles_y, bins.n_tiles_x, ts,
+                              camera.height, camera.width)
+    return dict(color=img, depth=depth, final_t=final_t, radii=prep.radius,
+                overflow=bins.overflow)

@@ -1,0 +1,134 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fisher_nerf_customized_tpu.ops.camera import Camera
+from fisher_nerf_customized_tpu.ops.naive import render_naive
+from fisher_nerf_customized_tpu.ops.rasterize import RenderSettings, render
+
+
+def make_scene(n=200, seed=0, spread=1.5, z_range=(1.0, 6.0)):
+    rng = np.random.default_rng(seed)
+    means = np.stack([
+        rng.uniform(-spread, spread, n),
+        rng.uniform(-spread, spread, n),
+        rng.uniform(*z_range, n),
+    ], axis=-1).astype(np.float32)
+    scales = rng.uniform(0.02, 0.15, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors))
+
+
+CAM = Camera(fx=64.0, fy=64.0, cx=32.0, cy=32.0, width=64, height=64)
+ST = RenderSettings(tile_size=16, max_per_tile=256, chunk=32)
+
+
+def test_tiled_matches_naive():
+    means, scales, quats, opac, colors = make_scene()
+    out = render(CAM, means, scales, quats, opac, colors, settings=ST)
+    ref = render_naive(CAM, means, scales, quats, opac, colors)
+    np.testing.assert_allclose(np.asarray(out["color"]),
+                               np.asarray(ref["color"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["final_t"]),
+                               np.asarray(ref["final_t"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["radii"]),
+                               np.asarray(ref["radii"]))
+    assert int(out["overflow"]) == 0
+
+
+def test_active_mask_culls_gaussians():
+    means, scales, quats, opac, colors = make_scene(n=50)
+    active = jnp.arange(50) < 25
+    out = render(CAM, means, scales, quats, opac, colors, active=active,
+                 settings=ST)
+    ref = render_naive(CAM, means[:25], scales[:25], quats[:25], opac[:25],
+                       colors[:25])
+    np.testing.assert_allclose(np.asarray(out["color"]),
+                               np.asarray(ref["color"]), atol=2e-4)
+    assert np.all(np.asarray(out["radii"])[25:] == 0)
+
+
+def test_background_color():
+    means, scales, quats, opac, colors = make_scene(n=5, spread=0.2)
+    bg = jnp.array([1.0, 1.0, 1.0])
+    out = render(CAM, means, scales, quats, opac, colors, bg=bg, settings=ST)
+    # far corners should be (near) background
+    corner = np.asarray(out["color"])[0, 0]
+    t_corner = np.asarray(out["final_t"])[0, 0]
+    np.testing.assert_allclose(corner, t_corner * np.ones(3), atol=2e-4)
+
+
+def test_median_depth_single_opaque_gaussian():
+    # one big opaque Gaussian in front of the camera -> median depth = its z
+    means = jnp.array([[0.0, 0.0, 2.0]])
+    scales = jnp.array([[0.5, 0.5, 0.5]])
+    quats = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    opac = jnp.array([0.95])
+    colors = jnp.array([[1.0, 0.0, 0.0]])
+    out = render(CAM, means, scales, quats, opac, colors, settings=ST)
+    d = np.asarray(out["depth"])
+    assert abs(d[32, 32] - 2.0) < 1e-5
+    # pixels the splat doesn't cover keep the max-depth fallback
+    assert d[0, 0] == pytest.approx(15.0)
+
+
+def test_depth_ordering_front_occludes_back():
+    means = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 4.0]])
+    scales = jnp.full((2, 3), 0.5)
+    quats = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1))
+    opac = jnp.array([0.99, 0.99])
+    colors = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = render(CAM, means, scales, quats, opac, colors, settings=ST)
+    center = np.asarray(out["color"])[32, 32]
+    assert center[0] > 0.9 and center[1] < 0.05
+
+
+def test_render_is_differentiable():
+    means, scales, quats, opac, colors = make_scene(n=60)
+
+    def loss(op, col, m):
+        out = render(CAM, m, scales, quats, op, col, settings=ST)
+        return jnp.sum(out["color"] ** 2)
+
+    g_op, g_col, g_m = jax.grad(loss, argnums=(0, 1, 2))(opac, colors, means)
+    for g in (g_op, g_col, g_m):
+        arr = np.asarray(g)
+        assert np.all(np.isfinite(arr))
+        assert np.abs(arr).max() > 0
+
+
+def test_vmap_over_poses():
+    means, scales, quats, opac, colors = make_scene(n=40)
+
+    def render_shifted(dxs):
+        m = means + jnp.array([dxs, 0.0, 0.0])
+        return render(CAM, m, scales, quats, opac, colors, settings=ST)["color"]
+
+    batch = jax.vmap(render_shifted)(jnp.array([0.0, 0.1, -0.1]))
+    assert batch.shape == (3, 64, 64, 3)
+    single = render_shifted(0.1)
+    np.testing.assert_allclose(np.asarray(batch[1]), np.asarray(single),
+                               atol=1e-5)
+
+
+def test_non_multiple_image_size_padding():
+    cam = Camera(fx=48.0, fy=48.0, cx=24.0, cy=20.0, width=48, height=40)
+    means, scales, quats, opac, colors = make_scene(n=80)
+    out = render(cam, means, scales, quats, opac, colors, settings=ST)
+    ref = render_naive(cam, means, scales, quats, opac, colors)
+    assert out["color"].shape == (40, 48, 3)
+    np.testing.assert_allclose(np.asarray(out["color"]),
+                               np.asarray(ref["color"]), atol=2e-4)
+
+
+def test_overflow_reported_when_capacity_too_small():
+    means, scales, quats, opac, colors = make_scene(n=500, spread=0.3)
+    small = RenderSettings(tile_size=16, max_per_tile=64, chunk=32)
+    out = render(CAM, means, scales, quats, opac, colors, settings=small)
+    assert int(out["overflow"]) > 0
