@@ -1,0 +1,279 @@
+"""Hermetic simulator: procedural box-room scenes with analytic raycasting.
+
+The reference binds every episode to habitat-sim + scene datasets
+(reference datasets/dataloader.py:79 HabitatDataScene); its only hermetic
+fixture is TrajReader pose replay (SURVEY.md §4).  The TPU build gets a
+real fake: `BoxScene` describes a room with box obstacles, `FakeSim`
+renders ground-truth RGB-D by jitted per-pixel AABB raycasting and steps
+the discrete action space (1 fwd / 2 left / 3 right) with collision
+checks — so full active-mapping episodes, tests, and benchmarks run with
+no external scene data.  `ReplaySim` plays back recorded RGB-D + poses
+(the TrajReader equivalent).
+
+Conventions: world y is up; cameras are +z forward / +y down (CV frame);
+depth images are z-depth (camera-axis), matching habitat's depth sensor as
+consumed by the reference's back-projection (gaussian.py:101).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import Camera
+from ..utils.geometry import compute_next_campos
+
+
+class _Boxes(NamedTuple):
+    lo: jnp.ndarray      # (B, 3)
+    hi: jnp.ndarray      # (B, 3)
+    inward: jnp.ndarray  # (B,) bool: True = room shell (hit from inside)
+    color_seed: jnp.ndarray  # (B,) float
+
+
+@dataclass
+class BoxScene:
+    """Room shell + box obstacles.  Sizes in meters."""
+    room_lo: tuple = (-4.0, 0.0, -4.0)
+    room_hi: tuple = (4.0, 2.5, 4.0)
+    obstacles: list = field(default_factory=list)   # list of (lo, hi) tuples
+    agent_radius: float = 0.18
+
+    @staticmethod
+    def default(seed: int = 0, n_obstacles: int = 6,
+                room: float = 4.0) -> "BoxScene":
+        rng = np.random.default_rng(seed)
+        obstacles = []
+        for _ in range(n_obstacles):
+            cx, cz = rng.uniform(-room + 1.2, room - 1.2, 2)
+            sx, sz = rng.uniform(0.25, 0.7, 2)
+            sy = rng.uniform(0.8, 2.2)
+            if abs(cx) < 1.2 and abs(cz) < 1.2:
+                continue   # keep the spawn area clear
+            obstacles.append(((cx - sx, 0.0, cz - sz), (cx + sx, sy, cz + sz)))
+        return BoxScene(room_lo=(-room, 0.0, -room), room_hi=(room, 2.5, room),
+                        obstacles=obstacles)
+
+    def boxes(self) -> _Boxes:
+        los = [np.asarray(self.room_lo, np.float32)]
+        his = [np.asarray(self.room_hi, np.float32)]
+        inward = [True]
+        for lo, hi in self.obstacles:
+            los.append(np.asarray(lo, np.float32))
+            his.append(np.asarray(hi, np.float32))
+            inward.append(False)
+        seeds = np.arange(len(los), dtype=np.float32)
+        return _Boxes(lo=jnp.asarray(np.stack(los)),
+                      hi=jnp.asarray(np.stack(his)),
+                      inward=jnp.asarray(np.asarray(inward)),
+                      color_seed=jnp.asarray(seeds))
+
+    # -- navigation ---------------------------------------------------------
+    def is_navigable(self, pos: np.ndarray) -> bool:
+        """xz position reachable by the agent (inside room, off obstacles)."""
+        p = np.asarray(pos, np.float32).reshape(-1)
+        x, z = float(p[0]), float(p[-1])
+        r = self.agent_radius
+        lo, hi = self.room_lo, self.room_hi
+        if not (lo[0] + r <= x <= hi[0] - r and lo[2] + r <= z <= hi[2] - r):
+            return False
+        for blo, bhi in self.obstacles:
+            if blo[0] - r <= x <= bhi[0] + r and blo[2] - r <= z <= bhi[2] + r:
+                return False
+        return True
+
+    def sample_navigable(self, rng: np.random.Generator,
+                         n: int) -> np.ndarray:
+        out = []
+        lo, hi = self.room_lo, self.room_hi
+        while len(out) < n:
+            x = rng.uniform(lo[0], hi[0])
+            z = rng.uniform(lo[2], hi[2])
+            if self.is_navigable((x, 0.0, z)):
+                out.append((x, z))
+        return np.asarray(out, np.float32)
+
+    # -- ground truth for evaluation ---------------------------------------
+    def sample_surface_points(self, n: int, rng=None,
+                              interior_only: bool = True) -> np.ndarray:
+        """Area-weighted uniform samples of all visible surfaces (analog of
+        load_env_glb_pointcloud; reference scripts/evaluation.py:135)."""
+        rng = rng or np.random.default_rng(0)
+        faces = []   # (origin, edge_u, edge_v)
+        def add_box(lo, hi, inward):
+            lo, hi = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
+            d = hi - lo
+            # 6 faces of the box
+            faces.extend([
+                (np.array([lo[0], lo[1], lo[2]]), np.array([0, d[1], 0]), np.array([0, 0, d[2]])),   # x-
+                (np.array([hi[0], lo[1], lo[2]]), np.array([0, d[1], 0]), np.array([0, 0, d[2]])),   # x+
+                (np.array([lo[0], lo[1], lo[2]]), np.array([d[0], 0, 0]), np.array([0, 0, d[2]])),   # y-
+                (np.array([lo[0], hi[1], lo[2]]), np.array([d[0], 0, 0]), np.array([0, 0, d[2]])),   # y+
+                (np.array([lo[0], lo[1], lo[2]]), np.array([d[0], 0, 0]), np.array([0, d[1], 0])),   # z-
+                (np.array([lo[0], lo[1], hi[2]]), np.array([d[0], 0, 0]), np.array([0, d[1], 0])),   # z+
+            ])
+        add_box(self.room_lo, self.room_hi, True)
+        for lo, hi in self.obstacles:
+            add_box(lo, hi, False)
+        areas = np.array([np.linalg.norm(np.cross(u, v)) for _, u, v in faces])
+        probs = areas / areas.sum()
+        idx = rng.choice(len(faces), size=n, p=probs)
+        us, vs = rng.uniform(size=(2, n))
+        pts = np.stack([faces[i][0] + us[k] * faces[i][1] + vs[k] * faces[i][2]
+                        for k, i in enumerate(idx)])
+        return pts.astype(np.float32)
+
+    def gt_free_map(self, cell_size: float, grid_dim, map_center) -> np.ndarray:
+        """Top-down free-space grid for 2D coverage eval (analog of
+        test_utils.py:31 draw_map)."""
+        gx, gz = int(grid_dim[0]), int(grid_dim[1])
+        xs = (np.arange(gx) + 0.5 - gx // 2) * cell_size + map_center[0]
+        zs = (np.arange(gz) + 0.5 - gz // 2) * cell_size + map_center[1]
+        free = np.zeros((gz, gx), bool)
+        for iz, z in enumerate(zs):
+            for ix, x in enumerate(xs):
+                free[iz, ix] = self.is_navigable((x, 0.0, z))
+        return free
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
+def _raycast(boxes: _Boxes, c2w, camera: Camera):
+    """Per-pixel nearest-hit AABB raycast.  Returns (rgb, z_depth)."""
+    h, w = camera.height, camera.width
+    ys = (jnp.arange(h, dtype=jnp.float32) - camera.cy) / camera.fy
+    xs = (jnp.arange(w, dtype=jnp.float32) - camera.cx) / camera.fx
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    dirs_cam = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)   # (H, W, 3)
+    dirs_w = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs_cam)
+    origin = c2w[:3, 3]
+
+    inv_d = 1.0 / jnp.where(jnp.abs(dirs_w) < 1e-9,
+                            jnp.sign(dirs_w) * 1e-9 + 1e-12, dirs_w)
+    # slab test against each box: (B, H, W)
+    t0 = (boxes.lo[:, None, None, :] - origin) * inv_d[None]
+    t1 = (boxes.hi[:, None, None, :] - origin) * inv_d[None]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    # obstacle: enter at tmin (if tmin > 0 and tmin <= tmax)
+    # room shell (inward): exit at tmax
+    t_hit = jnp.where(boxes.inward[:, None, None], tmax, tmin)
+    hit_ok = (tmax >= jnp.maximum(tmin, 0.0)) & (t_hit > 1e-4)
+    t_hit = jnp.where(hit_ok, t_hit, jnp.inf)
+    best = jnp.argmin(t_hit, axis=0)                             # (H, W)
+    t_best = jnp.min(t_hit, axis=0)
+    t_best = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
+
+    hit_pt = origin + dirs_w * t_best[..., None]                 # (H, W, 3)
+    # rays are scaled so dirs_cam.z == 1, hence t IS the camera z-depth
+    z_depth = t_best
+    # procedural texture: wall-id base hue + world-position checker
+    seed = boxes.color_seed[best]
+    checker = (jnp.floor(hit_pt[..., 0] / 0.5) + jnp.floor(hit_pt[..., 1] / 0.5)
+               + jnp.floor(hit_pt[..., 2] / 0.5)) % 2.0
+    base_r = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 2.1 + 1.0))
+    base_g = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 3.7 + 2.0))
+    base_b = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 5.3 + 3.0))
+    shade = 0.75 + 0.25 * checker
+    stripes = 0.85 + 0.15 * jnp.sin(hit_pt[..., 0] * 7.0) * jnp.sin(
+        hit_pt[..., 2] * 7.0)
+    rgb = jnp.stack([base_r * shade * stripes, base_g * shade,
+                     base_b * (1.25 - 0.25 * checker)], axis=-1)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    return rgb, z_depth
+
+
+class FakeSim:
+    """Habitat-free embodied sim over a BoxScene.
+
+    API shape follows what the episode driver needs from the reference's
+    HabitatDataScene/habitat.Env (reset / step / get_observations /
+    is_navigable / intrinsics), with actions 1=fwd, 2=left, 3=right.
+    """
+
+    def __init__(self, scene: BoxScene, camera: Camera,
+                 forward_step: float = 0.065, turn_angle: float = 10.0,
+                 cam_height: float = 1.25, seed: int = 0):
+        self.scene = scene
+        self.camera = camera
+        self.forward_step = float(forward_step)
+        self.turn_angle = float(turn_angle)
+        self.cam_height = float(cam_height)
+        self._boxes = scene.boxes()
+        self.rng = np.random.default_rng(seed)
+        self.c2w = np.eye(4, dtype=np.float32)
+        self.collided_last = False
+        self.reset()
+
+    def reset(self, start_xz=(0.0, 0.0), yaw: float = 0.0):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        # CV camera: x right, y down, z forward: flip x and y of the y-up frame
+        R = R @ np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+        self.c2w = np.eye(4, dtype=np.float32)
+        self.c2w[:3, :3] = R
+        self.c2w[:3, 3] = [start_xz[0], self.cam_height, start_xz[1]]
+        self.collided_last = False
+        return self.get_observations()
+
+    def get_observations(self):
+        rgb, depth = _raycast(self._boxes, jnp.asarray(self.c2w), self.camera)
+        return dict(rgb=np.asarray(rgb), depth=np.asarray(depth),
+                    c2w=self.c2w.copy())
+
+    def step(self, action_id: int):
+        next_c2w = compute_next_campos(self.c2w, int(action_id),
+                                       self.forward_step, self.turn_angle)
+        self.collided_last = False
+        if action_id == 1:
+            nxt = next_c2w[:3, 3]
+            if not self.scene.is_navigable((nxt[0], 0.0, nxt[2])):
+                self.collided_last = True
+                next_c2w = self.c2w      # blocked: stay (habitat-style stop)
+        self.c2w = np.asarray(next_c2w, np.float32)
+        return self.get_observations()
+
+    def set_pose(self, c2w):
+        self.c2w = np.asarray(c2w, np.float32)
+
+    def render_at(self, c2w):
+        rgb, depth = _raycast(self._boxes, jnp.asarray(np.asarray(c2w, np.float32)),
+                              self.camera)
+        return np.asarray(rgb), np.asarray(depth)
+
+    def is_navigable(self, pos) -> bool:
+        return self.scene.is_navigable(pos)
+
+    @property
+    def intrinsics(self) -> np.ndarray:
+        return np.asarray(self.camera.intrinsics)
+
+
+class ReplaySim:
+    """Plays back a recorded trajectory (TrajReader analog;
+    reference tester_gaussians_navigation.py:299 TrajReader policy)."""
+
+    def __init__(self, colors, depths, c2ws):
+        self.colors = [np.asarray(c, np.float32) for c in colors]
+        self.depths = [np.asarray(d, np.float32) for d in depths]
+        self.c2ws = [np.asarray(p, np.float32) for p in c2ws]
+        self.t = 0
+
+    def __len__(self):
+        return len(self.colors)
+
+    def reset(self):
+        self.t = 0
+        return self.get_observations()
+
+    def get_observations(self):
+        i = min(self.t, len(self.colors) - 1)
+        return dict(rgb=self.colors[i], depth=self.depths[i],
+                    c2w=self.c2ws[i].copy())
+
+    def step(self, action_id: int = 0):
+        self.t += 1
+        return self.get_observations()

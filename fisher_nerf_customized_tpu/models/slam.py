@@ -1,0 +1,583 @@
+"""Gaussian-SLAM runtime (TPU-native re-design of reference
+models/SLAM/gaussian.py GaussianSLAM).
+
+Architecture: all per-step compute is fused into a handful of jitted pure
+functions over the fixed-capacity GaussianState —
+
+  * `_mapping_phase`  — the reference's per-mapping-event python loop of
+    N Adam iterations (gaussian.py:727-805, each iteration 2 CUDA renders +
+    backward + optimizer step + prune) becomes ONE `lax.scan` inside ONE
+    XLA launch.  The RGB and depth/silhouette passes are a single 6-channel
+    render (the reference runs two 3-channel rasterizer launches;
+    gaussian.py:184-297 get_loss).  A fresh Adam is created per phase, as
+    the reference does (gaussian.py:741 get_optimizer per event).
+  * `_densify` — add_new_gaussians (gaussian.py:320-414): silhouette +
+    depth-error non-presence mask -> masked scatter of a fixed candidate
+    grid into free slots.
+  * `fisher_diag_batch` — candidate-pose EIG (gaussian.py:1503
+    compute_Hessian / :1354 pose_eval) vmapped over pose chunks.
+
+The host-side `GaussianSLAM` class keeps the reference's public API
+(init / track_rgbd / render_at_pose / compute_Hessian / compute_H_train /
+pose_eval / get_latest_frame / save / pause / resume / stop) so the episode
+driver reads like the reference's tester.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigNode
+from ..ops.camera import Camera
+from ..ops.fisher import fisher_diag, fisher_diag_batch
+from ..ops.image import calc_ssim
+from ..ops.rasterize import RenderSettings, render
+from ..utils.geometry import invert_se3
+from .gaussian_state import (GaussianState, PARAM_KEYS, add_gaussians,
+                             adam_init, adam_step, empty_state, grow_state,
+                             prune_compact)
+from .keyframes import KeyframeBuffer, select_keyframes_overlap
+
+
+class MappingConfig(NamedTuple):
+    """Static (hashable) mapping hyperparameters, lifted from the YAML."""
+    num_iters: int
+    sil_thres: float
+    depth_weight: float
+    im_weight: float
+    prune_enabled: bool
+    prune_every: int
+    prune_start: int
+    prune_stop: int
+    prune_thresh: float
+    prune_big_after: int
+    lr_means3D: float
+    lr_rgb: float
+    lr_rots: float
+    lr_logit_op: float
+    lr_log_scales: float
+    depth_error_ratio: float
+    downsample_pcd: int
+
+
+def _gaussian_rendervars(params: dict, w2c):
+    means_cam = params["means3D"] @ w2c[:3, :3].T + w2c[:3, 3]
+    scales = jnp.exp(params["log_scales"])
+    opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
+    quats = params["unnorm_rotations"]
+    return means_cam, scales, quats, opac
+
+
+def _render_rgbd(camera, settings, params, n_active, w2c, bg_white=False):
+    """Single 6-channel pass: [r, g, b, z, 1, z²] (reference runs two
+    3-channel passes; slam_helpers.py:235 get_depth_and_silhouette)."""
+    means_cam, scales, quats, opac = _gaussian_rendervars(params, w2c)
+    z = means_cam[:, 2:3]
+    colors = jnp.concatenate(
+        [params["rgb_colors"], z, jnp.ones_like(z), z * z], axis=-1)
+    active = jnp.arange(means_cam.shape[0]) < n_active
+    bg = jnp.array([1.0, 1, 1, 0, 0, 0]) if bg_white else jnp.zeros(6)
+    out = render(camera, means_cam, scales, quats, opac, colors, bg=bg,
+                 active=active, settings=settings)
+    img = out["color"][..., :3]
+    depth_acc = out["color"][..., 3]
+    sil = out["color"][..., 4]
+    depth_sq = out["color"][..., 5]
+    return dict(im=img, depth=depth_acc, sil=sil, depth_sq=depth_sq,
+                med_depth=out["depth"], final_t=out["final_t"],
+                radii=out["radii"], overflow=out["overflow"])
+
+
+def _mapping_loss(params, n_active, w2c, gt_color, gt_depth, camera,
+                  settings, mc: MappingConfig):
+    """Weighted depth-L1 + (0.8 L1 + 0.2 DSSIM) RGB loss
+    (reference slam_helpers.py:23 calc_loss, mapping branch)."""
+    out = _render_rgbd(camera, settings, params, n_active, w2c)
+    depth = out["depth"]
+    mask = (gt_depth > 0) & jnp.isfinite(depth)
+    mask = jax.lax.stop_gradient(mask)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    depth_l1 = jnp.sum(jnp.abs(gt_depth - depth) * mask) / denom
+    im_l1 = jnp.mean(jnp.abs(out["im"] - gt_color))
+    ssim = calc_ssim(out["im"], gt_color)
+    im_loss = 0.8 * im_l1 + 0.2 * (1.0 - ssim)
+    loss = mc.depth_weight * depth_l1 + mc.im_weight * im_loss
+    return loss, dict(depth_l1=depth_l1, im_loss=im_loss)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "mc"))
+def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
+                   frame_choices, camera: Camera, settings: RenderSettings,
+                   mc: MappingConfig):
+    """One fused mapping event: `num_iters` Adam iterations over randomly
+    chosen window keyframes with periodic opacity pruning."""
+    lrs = dict(means3D=mc.lr_means3D, rgb_colors=mc.lr_rgb,
+               unnorm_rotations=mc.lr_rots, logit_opacities=mc.lr_logit_op,
+               log_scales=mc.lr_log_scales)
+    params = state.params()
+    opt = adam_init(params)
+
+    def loss_fn(p, n_active, w2c, color, depth):
+        return _mapping_loss(p, n_active, w2c, color, depth, camera,
+                             settings, mc)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def prune_now(params, ts, n_active, opt):
+        opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
+        keep = opac >= mc.prune_thresh
+        keep = keep & (jnp.arange(keep.shape[0]) < n_active)
+        order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+        n_new = jnp.sum(keep.astype(jnp.int32))
+        params = {k: v[order] for k, v in params.items()}
+        ts = ts[order]
+        opt = opt._replace(mu={k: v[order] for k, v in opt.mu.items()},
+                           nu={k: v[order] for k, v in opt.nu.items()})
+        return params, ts, n_new, opt
+
+    def body(carry, it):
+        params, ts, n_active, opt = carry
+        i = frame_choices[it]
+        (loss, aux), grads = grad_fn(params, n_active, kf_w2cs[i],
+                                     kf_colors[i], kf_depths[i])
+        params, opt = adam_step(opt, params, grads, lrs, eps=1e-15)
+
+        if mc.prune_enabled:
+            do_prune = ((it >= mc.prune_start) & (it <= mc.prune_stop)
+                        & (it % mc.prune_every == 0))
+            params, ts, n_active, opt = jax.lax.cond(
+                do_prune, prune_now,
+                lambda p, t, n, o: (p, t, n, o),
+                params, ts, n_active, opt)
+        return (params, ts, n_active, opt), loss
+
+    init = (params, state.timestep, state.n_active, opt)
+    (params, ts, n_active, _opt), losses = jax.lax.scan(
+        body, init, jnp.arange(mc.num_iters))
+    new_state = state.replace_params(params)._replace(
+        timestep=ts, n_active=n_active)
+    return new_state, losses
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "mc"))
+def _densify(state: GaussianState, color, depth, w2c, time_idx,
+             camera: Camera, settings: RenderSettings, mc: MappingConfig):
+    """add_new_gaussians (reference gaussian.py:320-414): back-project
+    pixels where the map is missing (silhouette below threshold, or the
+    render is behind the ground truth with large error)."""
+    params = state.params()
+    out = _render_rgbd(camera, settings, params, state.n_active, w2c)
+    sil, rdepth = out["sil"], out["depth"]
+
+    non_presence_sil = sil < mc.sil_thres
+    depth_error = jnp.abs(depth - rdepth) * (depth > 0)
+    err_med = jnp.median(depth_error)
+    non_presence_depth = (rdepth > depth) & (depth_error >
+                                             mc.depth_error_ratio * err_med)
+    non_presence = (non_presence_sil | non_presence_depth) & (depth > 0.01)
+
+    ds = mc.downsample_pcd
+    h, w = camera.height, camera.width
+    # any-in-block downsample of the mask (reference max_pool2d,
+    # gaussian.py:128-131), candidates on the strided pixel grid
+    blocks = non_presence[:(h // ds) * ds, :(w // ds) * ds]
+    blocks = blocks.reshape(h // ds, ds, w // ds, ds)
+    cand_mask = jnp.any(blocks, axis=(1, 3)).reshape(-1)
+
+    ys = jnp.arange(0, h, ds, dtype=jnp.float32)
+    xs = jnp.arange(0, w, ds, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    zs = depth[::ds, ::ds]
+    px = (gx - camera.cx) / camera.fx
+    py = (gy - camera.cy) / camera.fy
+    pts_cam = jnp.stack([px * zs, py * zs, zs], axis=-1).reshape(-1, 3)
+    c2w = invert_se3(w2c)
+    pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+    cols = color[::ds, ::ds].reshape(-1, 3)
+
+    # projective initial scale (gaussian.py:114-115)
+    scale = ds * zs.reshape(-1) / ((camera.fx + camera.fy) / 2.0)
+    log_scales = jnp.log(jnp.maximum(scale, 1e-6))[:, None]
+
+    m = pts_w.shape[0]
+    new_params = dict(
+        means3D=pts_w,
+        rgb_colors=cols,
+        unnorm_rotations=jnp.tile(jnp.array([1.0, 0, 0, 0]), (m, 1)),
+        logit_opacities=jnp.zeros((m, 1)),
+        log_scales=jnp.tile(log_scales, (1, 3)),
+    )
+    cand_mask = cand_mask & (zs.reshape(-1) > 0.01)
+    new_state, dropped = add_gaussians(state, new_params, cand_mask, time_idx)
+    return new_state, dropped, jnp.sum(cand_mask.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "white_bg"))
+def _render_pose(state: GaussianState, w2c, camera: Camera,
+                 settings: RenderSettings, white_bg: bool, mask=None):
+    params = state.params()
+    n_active = state.n_active
+    if mask is not None:
+        # extra visibility mask (e.g. BEV height filter; astar.py:1779)
+        means_cam, scales, quats, opac = _gaussian_rendervars(params, w2c)
+        opac = jnp.where(mask, opac, 0.0)
+        z = means_cam[:, 2:3]
+        colors = jnp.concatenate([params["rgb_colors"], z,
+                                  jnp.ones_like(z), z * z], axis=-1)
+        active = jnp.arange(means_cam.shape[0]) < n_active
+        bg = jnp.array([1.0, 1, 1, 0, 0, 0]) if white_bg else jnp.zeros(6)
+        out = render(camera, means_cam, scales, quats, opac, colors, bg=bg,
+                     active=active, settings=settings)
+        return dict(im=out["color"][..., :3], depth=out["color"][..., 3],
+                    sil=out["color"][..., 4], med_depth=out["depth"],
+                    final_t=out["final_t"], radii=out["radii"],
+                    depth_sq=out["color"][..., 5],
+                    overflow=out["overflow"])
+    return _render_rgbd(camera, settings, params, n_active, w2c,
+                        bg_white=white_bg)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings"))
+def _fisher_batch(state: GaussianState, w2cs, camera: Camera,
+                  settings: RenderSettings):
+    params = state.params()
+    means_w = params["means3D"]
+    scales = jnp.exp(params["log_scales"])
+    opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
+    active = jnp.arange(means_w.shape[0]) < state.n_active
+    return fisher_diag_batch(camera, w2cs, means_w, scales,
+                             params["unnorm_rotations"], opac,
+                             params["rgb_colors"], active=active,
+                             settings=settings)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings"))
+def _pose_scores(state: GaussianState, w2cs, h_train_inv, camera: Camera,
+                 settings: RenderSettings):
+    out = _fisher_batch(state, w2cs, camera, settings)
+    return jnp.sum(out["H"] * h_train_inv[None], axis=(1, 2))
+
+
+class GaussianSLAM:
+    """Host-side orchestrator with the reference GaussianSLAM API
+    (reference models/SLAM/gaussian.py:416)."""
+
+    def __init__(self, cfg: ConfigNode, eval_dir: str | None = None):
+        self.cfg = cfg
+        self.eval_dir = eval_dir or os.path.join(cfg.workdir, cfg.run_name)
+        calib = cfg.SLAM.Dataset.Calibration
+        self.camera = Camera(fx=float(calib.fx), fy=float(calib.fy),
+                             cx=float(calib.cx), cy=float(calib.cy),
+                             width=int(calib.width), height=int(calib.height))
+        tpu = cfg.tpu
+        self.settings = RenderSettings(tile_size=int(tpu.tile_size),
+                                       max_per_tile=int(tpu.max_per_tile),
+                                       chunk=min(64, int(tpu.max_per_tile)),
+                                       max_depth=float(tpu.max_depth))
+        mp = cfg.mapping
+        self.mc = MappingConfig(
+            num_iters=int(mp.num_iters),
+            sil_thres=float(mp.sil_thres),
+            depth_weight=float(mp.loss_weights.depth),
+            im_weight=float(mp.loss_weights.im),
+            prune_enabled=bool(mp.prune_gaussians),
+            prune_every=int(mp.pruning_dict.prune_every),
+            prune_start=int(mp.pruning_dict.start_after),
+            prune_stop=int(mp.pruning_dict.stop_after),
+            prune_thresh=float(mp.pruning_dict.removal_opacity_threshold),
+            prune_big_after=int(mp.pruning_dict.remove_big_after),
+            lr_means3D=float(mp.lrs.means3D),
+            lr_rgb=float(mp.lrs.rgb_colors),
+            lr_rots=float(mp.lrs.unnorm_rotations),
+            lr_logit_op=float(mp.lrs.logit_opacities),
+            lr_log_scales=float(mp.lrs.log_scales),
+            depth_error_ratio=float(mp.densify_dict.depth_error_ratio),
+            downsample_pcd=int(cfg.downsample_pcd),
+        )
+        self.state = empty_state(int(tpu.capacity))
+        self.pose_chunk = int(tpu.pose_chunk)
+        self.intrinsics = np.asarray(self.camera.intrinsics)
+
+        self.keyframes = KeyframeBuffer(self.camera.height, self.camera.width)
+        self.keyframe_time_indices: list[int] = []
+        self.poses_w2c: list[np.ndarray] = []    # per-frame w2c (gt-pose mode)
+        self.frame_idx = -1
+        self.initialized = False
+        self.rng = np.random.default_rng(0)
+        self.last_losses = None
+
+    # -- helpers ------------------------------------------------------------
+    @property
+    def n_active(self) -> int:
+        return int(self.state.n_active)
+
+    @property
+    def gaussian_points(self):
+        """Active world-frame means (N, 3) as numpy (reference exposes
+        slam.gaussian_points to the planner)."""
+        return np.asarray(self.state.means3D)[: self.n_active]
+
+    def get_gaussian_xyz(self):
+        return jnp.asarray(self.gaussian_points)
+
+    def _ensure_capacity(self, incoming: int):
+        cap = self.state.capacity
+        need = self.n_active + incoming
+        if need > cap:
+            growth = int(self.cfg.tpu.capacity_growth)
+            new_cap = cap
+            while new_cap < need:
+                new_cap *= growth
+            self.state = grow_state(self.state, new_cap)
+
+    def _prep_inputs(self, color, depth):
+        color = np.asarray(color)
+        if color.dtype == np.uint8:
+            color = color.astype(np.float32) / 255.0
+        color = color.astype(np.float32)
+        if color.ndim == 3 and color.shape[0] == 3:      # (3,H,W) -> (H,W,3)
+            color = np.moveaxis(color, 0, -1)
+        depth = np.asarray(depth, np.float32)
+        if depth.ndim == 3:
+            depth = depth.reshape(depth.shape[-2], depth.shape[-1])
+        return color, depth
+
+    # -- reference API ------------------------------------------------------
+    def init(self, color, depth, w2c=None):
+        """First-frame initialization (reference gaussian.py:473-530):
+        back-project every pixel with depth > 10*cell_size into Gaussians."""
+        color, depth = self._prep_inputs(color, depth)
+        w2c = np.eye(4, dtype=np.float32) if w2c is None else np.asarray(w2c, np.float32)
+        self.frame_idx = 0
+        self.poses_w2c = [w2c]
+        cell = float(self.cfg.explore.cell_size)
+        h, w = depth.shape
+        self._ensure_capacity(h * w)
+
+        state, dropped, n_added = _init_first_frame(
+            self.state, jnp.asarray(color), jnp.asarray(depth),
+            jnp.asarray(w2c), 10.0 * cell, self.camera)
+        self.state = state
+        self.keyframes.append(color, depth, w2c, 0)
+        self.keyframe_time_indices.append(0)
+        self.initialized = True
+        return int(n_added)
+
+    def track_rgbd(self, color, depth, gt_w2c=None, action=None):
+        """Per-step tracking + (periodic) mapping + keyframing (reference
+        gaussian.py:582-847 track_rgbd, gt-pose branch)."""
+        if not self.initialized:
+            self.init(color, depth, gt_w2c)
+            return
+        color, depth = self._prep_inputs(color, depth)
+        time_idx = self.frame_idx + 1
+        w2c = (np.asarray(gt_w2c, np.float32) if gt_w2c is not None
+               else self.poses_w2c[-1])
+        self.poses_w2c.append(w2c)
+
+        cfgc = self.cfg
+        if time_idx == 0 or (time_idx + 1) % int(cfgc.map_every) == 0:
+            self._mapping_event(color, depth, w2c, time_idx)
+
+        if ((time_idx + 1) % int(cfgc.keyframe_every) == 0
+                or time_idx == int(cfgc.num_frames) - 2):
+            self.keyframes.append(color, depth, w2c, time_idx)
+            self.keyframe_time_indices.append(time_idx)
+
+        self.frame_idx = time_idx
+
+    def _mapping_event(self, color, depth, w2c, time_idx):
+        cfgc = self.cfg
+        if bool(cfgc.mapping.add_new_gaussians) and time_idx > 0:
+            ds = self.mc.downsample_pcd
+            self._ensure_capacity(
+                (self.camera.height // ds) * (self.camera.width // ds))
+            self.state, dropped, _added = _densify(
+                self.state, jnp.asarray(color), jnp.asarray(depth),
+                jnp.asarray(w2c), float(time_idx), self.camera,
+                self.settings, self.mc)
+            if int(dropped) > 0:   # capacity guard tripped mid-event
+                self._ensure_capacity(int(dropped) + 1024)
+
+        # keyframe window selection (gaussian.py:700-722)
+        num_kf = int(cfgc.mapping_window_size) - 2
+        selected = select_keyframes_overlap(
+            depth[None], w2c, self.intrinsics, self.keyframes, num_kf,
+            rng=self.rng)
+        if len(self.keyframes) > 0:
+            selected.append(len(self.keyframes) - 1)
+        # current frame gets index -1 (appended below as the last window slot)
+        win_colors = [self.keyframes.colors[i] for i in selected] + [color]
+        win_depths = [self.keyframes.depths[i] for i in selected] + [depth]
+        win_w2cs = [self.keyframes.w2cs[i] for i in selected] + [w2c]
+
+        b = len(win_colors)
+        choices = self.rng.integers(0, b, size=self.mc.num_iters)
+        state, losses = _mapping_phase(
+            self.state,
+            jnp.asarray(np.stack(win_colors)),
+            jnp.asarray(np.stack(win_depths)),
+            jnp.asarray(np.stack(win_w2cs)),
+            jnp.asarray(choices, jnp.int32),
+            self.camera, self.settings, self.mc)
+        self.state = state
+        self.last_losses = np.asarray(losses)
+
+    def render_at_pose(self, c2w, white_bg: bool = False, mask=None):
+        c2w = np.asarray(c2w, np.float32)
+        w2c = np.linalg.inv(c2w)
+        full_mask = None
+        if mask is not None:
+            full_mask = jnp.zeros((self.state.capacity,), bool)
+            full_mask = full_mask.at[: len(mask)].set(jnp.asarray(mask))
+        out = _render_pose(self.state, jnp.asarray(w2c), self.camera,
+                           self.settings, bool(white_bg), full_mask)
+        return {"render": out["im"], "depth": out["med_depth"],
+                "depth_acc": out["depth"], "sil": out["sil"]}
+
+    def compute_Hessian(self, rel_w2c, return_points: bool = False,
+                        random_gaussian_params=None, return_pose: bool = False):
+        """Fisher H at one pose; (N_cap, 4) rows past n_active are zero.
+
+        The reference's `random_gaussian_params` argument is accepted and
+        ignored — its compute_Hessian never reads it (gaussian.py:1503-1570)
+        — and the pose Hessian is the same identity placeholder
+        (gaussian.py:1570)."""
+        w2c = jnp.asarray(np.asarray(rel_w2c, np.float32))
+        out = _fisher_batch(self.state, w2c[None], self.camera, self.settings)
+        h = out["H"][0]
+        if not return_points:
+            h = h.reshape(-1)
+        if return_pose:
+            return h, jnp.eye(6)
+        return h
+
+    def compute_H_train(self, random_gaussian_params=None):
+        """Σ over keyframes of compute_Hessian (gaussian.py:1338-1348)."""
+        w2cs = self.keyframes.stacked_w2cs()
+        if len(w2cs) == 0:
+            return jnp.zeros((self.state.capacity, 4))
+        h_train = jnp.zeros((self.state.capacity, 4))
+        ck = self.pose_chunk
+        for i in range(0, len(w2cs), ck):
+            chunk = w2cs[i:i + ck]
+            pad = ck - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+            out = _fisher_batch(self.state, jnp.asarray(chunk), self.camera,
+                                self.settings)
+            h = out["H"][: len(w2cs[i:i + ck])] if pad else out["H"]
+            h_train = h_train + jnp.sum(h, axis=0)
+        return h_train
+
+    def pose_eval(self, poses, random_gaussian_params=None):
+        """EIG score per candidate c2w pose: sum(H_pose / (H_train + 0.1))
+        (gaussian.py:1354-1375), batched over pose chunks."""
+        poses = np.asarray(poses, np.float32)
+        h_train = self.compute_H_train()
+        h_train_inv = 1.0 / (h_train + 0.1)
+        w2cs = np.linalg.inv(poses)
+        scores = []
+        ck = self.pose_chunk
+        for i in range(0, len(w2cs), ck):
+            chunk = w2cs[i:i + ck]
+            n_real = len(chunk)
+            if n_real < ck:
+                chunk = np.concatenate(
+                    [chunk, np.tile(np.eye(4, dtype=np.float32),
+                                    (ck - n_real, 1, 1))])
+            s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
+                             self.camera, self.settings)
+            scores.append(np.asarray(s)[:n_real])
+        return jnp.asarray(np.concatenate(scores)), jnp.asarray(poses)
+
+    def gs_pts_cnt(self, random_gaussian_params=None):
+        return max(self.n_active, 1)
+
+    def get_latest_frame(self):
+        """(4, 4) c2w of the latest tracked frame."""
+        return np.linalg.inv(self.poses_w2c[self.frame_idx])
+
+    # checkpointing ---------------------------------------------------------
+    def save(self, time_idx: int):
+        os.makedirs(self.eval_dir, exist_ok=True)
+        path = os.path.join(self.eval_dir, f"params{time_idx}.npz")
+        np.savez_compressed(
+            path,
+            n_active=self.n_active,
+            timestep=np.asarray(self.state.timestep),
+            poses_w2c=np.stack(self.poses_w2c),
+            keyframe_time_indices=np.asarray(self.keyframe_time_indices),
+            **{k: np.asarray(v) for k, v in self.state.params().items()})
+        np.save(os.path.join(self.eval_dir,
+                             f"keyframe_time_indices{time_idx}.npy"),
+                np.asarray(self.keyframe_time_indices))
+        return path
+
+    def load(self, path: str):
+        data = np.load(path)
+        n = int(data["n_active"])
+        self._ensure_capacity(n)
+        cap = self.state.capacity
+        params = {}
+        for k in PARAM_KEYS:
+            arr = np.zeros((cap,) + data[k].shape[1:], np.float32)
+            arr[: data[k].shape[0]] = data[k]
+            params[k] = jnp.asarray(arr)
+        ts = np.zeros((cap,), np.float32)
+        ts[: data["timestep"].shape[0]] = data["timestep"]
+        self.state = self.state.replace_params(params)._replace(
+            timestep=jnp.asarray(ts), n_active=jnp.asarray(n, jnp.int32))
+        self.poses_w2c = [p for p in data["poses_w2c"]]
+        self.keyframe_time_indices = [int(i) for i in
+                                      data["keyframe_time_indices"]]
+        self.frame_idx = len(self.poses_w2c) - 1
+        self.initialized = True
+
+    # MonoGS-compat no-ops (reference gaussian.py:1600-1614)
+    def pause(self):
+        pass
+
+    def resume(self):
+        pass
+
+    def stop(self):
+        pass
+
+    def color_refinement(self):
+        pass
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
+def _init_first_frame(state: GaussianState, color, depth, w2c,
+                      min_depth: float, camera: Camera):
+    """Back-project the full first frame (reference gaussian.py:505:
+    mask = depth > 10*cell_size)."""
+    h, w = depth.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    px = (gx - camera.cx) / camera.fx
+    py = (gy - camera.cy) / camera.fy
+    pts_cam = jnp.stack([px * depth, py * depth, depth], axis=-1).reshape(-1, 3)
+    c2w = invert_se3(w2c)
+    pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+    cols = color.reshape(-1, 3)
+    z = depth.reshape(-1)
+    scale = z / ((camera.fx + camera.fy) / 2.0)
+    m = pts_w.shape[0]
+    new_params = dict(
+        means3D=pts_w,
+        rgb_colors=cols,
+        unnorm_rotations=jnp.tile(jnp.array([1.0, 0, 0, 0]), (m, 1)),
+        logit_opacities=jnp.zeros((m, 1)),
+        log_scales=jnp.tile(jnp.log(jnp.maximum(scale, 1e-6))[:, None], (1, 3)),
+    )
+    mask = z > min_depth
+    new_state, dropped = add_gaussians(state, new_params, mask, 0.0)
+    return new_state, dropped, jnp.sum(mask.astype(jnp.int32))

@@ -1,0 +1,161 @@
+"""End-to-end SLAM core tests on FakeSim RGB-D (the SURVEY.md §7 step-2
+milestone: mapping a recorded trajectory and checking render quality)."""
+import numpy as np
+import pytest
+
+from fisher_nerf_customized_tpu.config import get_cfg_defaults
+from fisher_nerf_customized_tpu.envs.fake_sim import BoxScene, FakeSim
+from fisher_nerf_customized_tpu.models.slam import GaussianSLAM
+from fisher_nerf_customized_tpu.ops.camera import Camera
+from fisher_nerf_customized_tpu.ops.image import calc_psnr
+
+IMG = 48
+
+
+def small_cfg(tmp_path):
+    cfg = get_cfg_defaults()
+    cfg.SLAM.Dataset.Calibration.merge_from_other(dict(
+        fx=float(IMG), fy=float(IMG), cx=IMG / 2, cy=IMG / 2,
+        width=IMG, height=IMG))
+    cfg.workdir = str(tmp_path)
+    cfg.run_name = "t"
+    cfg.map_every = 5
+    cfg.keyframe_every = 4
+    cfg.downsample_pcd = 2
+    cfg.mapping.num_iters = 12
+    cfg.mapping.prune_gaussians = True
+    cfg.mapping.pruning_dict.prune_every = 6
+    cfg.tpu.capacity = 8192
+    cfg.tpu.tile_size = 16
+    cfg.tpu.max_per_tile = 128
+    cfg.tpu.pose_chunk = 2
+    return cfg
+
+
+def make_sim():
+    cam = Camera(fx=float(IMG), fy=float(IMG), cx=IMG / 2, cy=IMG / 2,
+                 width=IMG, height=IMG)
+    scene = BoxScene(room_lo=(-2, 0, -2), room_hi=(2, 2.5, 2), obstacles=[])
+    return FakeSim(scene, cam, forward_step=0.1, turn_angle=30.0)
+
+
+def run_short_episode(slam, sim, n_steps=10):
+    obs = sim.reset(start_xz=(0.0, 0.0), yaw=0.2)
+    slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
+    actions = [2, 1, 1, 2, 1, 3, 1, 1, 2, 1][:n_steps]
+    for a in actions:
+        obs = sim.step(a)
+        slam.track_rgbd(obs["rgb"], obs["depth"],
+                        gt_w2c=np.linalg.inv(obs["c2w"]))
+    return obs
+
+
+def test_slam_init_creates_gaussians(tmp_path):
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    obs = sim.reset()
+    n = slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
+    assert n > 0.9 * IMG * IMG          # nearly all pixels have valid depth
+    assert slam.n_active == n
+
+
+def test_slam_mapping_improves_psnr(tmp_path):
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    obs = run_short_episode(slam, sim)
+    out = slam.render_at_pose(obs["c2w"])
+    psnr = float(calc_psnr(out["render"], obs["rgb"]))
+    assert psnr > 20.0, f"render PSNR too low: {psnr}"
+    # depth should roughly match too
+    med = np.asarray(out["depth"])
+    err = np.abs(med - obs["depth"])
+    assert np.median(err) < 0.1
+
+
+def test_slam_densification_adds_on_novel_view(tmp_path):
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    obs = sim.reset(yaw=0.0)
+    slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
+    n0 = slam.n_active
+    # rotate far enough to see unmapped wall, then map
+    for _ in range(4):
+        obs = sim.step(2)
+        slam.track_rgbd(obs["rgb"], obs["depth"],
+                        gt_w2c=np.linalg.inv(obs["c2w"]))
+    assert slam.n_active > n0
+
+
+def test_slam_keyframes_accumulate(tmp_path):
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    run_short_episode(slam, sim)
+    assert len(slam.keyframes) >= 2
+    assert slam.keyframe_time_indices[0] == 0
+
+
+def test_pose_eval_eig_contract(tmp_path):
+    """EIG = sum(H_pose / (H_train + 0.1)): a view of mapped Gaussians
+    scores > 0, a view of completely unmapped space scores exactly 0
+    (FisherRF can only score existing Gaussians — the reason the reference
+    injects frontier 'random Gaussians'), and raising H_train lowers the
+    score of the same view (diminishing information)."""
+    import jax.numpy as jnp
+    from fisher_nerf_customized_tpu.models.slam import _pose_scores
+
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    obs = sim.reset(yaw=0.0)
+    slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
+    for _ in range(3):
+        obs = sim.step(1)
+        slam.track_rgbd(obs["rgb"], obs["depth"],
+                        gt_w2c=np.linalg.inv(obs["c2w"]))
+
+    seen_pose = obs["c2w"].copy()
+    empty_pose = obs["c2w"].copy()
+    empty_pose[:3, :3] = seen_pose[:3, :3] @ np.diag([-1, 1, -1])  # 180°
+    scores, _ = slam.pose_eval(np.stack([seen_pose, empty_pose]))
+    scores = np.asarray(scores)
+    assert np.all(np.isfinite(scores))
+    assert scores[0] > 0
+    assert scores[1] == 0.0
+
+    # monotonicity: same view, more accumulated training info -> lower EIG
+    h_train = slam.compute_H_train()
+    w2cs = jnp.asarray(np.stack([np.linalg.inv(seen_pose)] * slam.pose_chunk))
+    s_lo = _pose_scores(slam.state, w2cs, 1.0 / (h_train + 0.1),
+                        slam.camera, slam.settings)
+    s_hi = _pose_scores(slam.state, w2cs, 1.0 / (10.0 * h_train + 0.1),
+                        slam.camera, slam.settings)
+    assert float(s_hi[0]) < float(s_lo[0])
+
+
+def test_compute_hessian_api(tmp_path):
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    obs = sim.reset()
+    slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
+    w2c = np.linalg.inv(obs["c2w"])
+    h = slam.compute_Hessian(w2c, return_points=True)
+    assert h.shape == (slam.state.capacity, 4)
+    h_flat = slam.compute_Hessian(w2c)
+    assert h_flat.ndim == 1
+    h2, pose_h = slam.compute_Hessian(w2c, return_pose=True,
+                                      return_points=True)
+    assert pose_h.shape == (6, 6)
+    assert np.asarray(h)[: slam.n_active].sum() > 0
+
+
+def test_save_load_roundtrip(tmp_path):
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    obs = run_short_episode(slam, sim, n_steps=5)
+    path = slam.save(slam.frame_idx)
+    render0 = np.asarray(slam.render_at_pose(obs["c2w"])["render"])
+
+    slam2 = GaussianSLAM(small_cfg(tmp_path))
+    slam2.load(path)
+    assert slam2.n_active == slam.n_active
+    render1 = np.asarray(slam2.render_at_pose(obs["c2w"])["render"])
+    np.testing.assert_allclose(render0, render1, atol=1e-5)
