@@ -1,0 +1,398 @@
+"""AstarPlanner — occupancy mapping + frontier exploration + A* facade.
+
+Host-side orchestrator with the reference AstarPlanner's public API
+(reference planning/astar.py:22-1801): init / update_occ_map / setup_start
+/ build_frontiers / global_planning / global_planning_frontier / planning /
+convert_to_map / convert_to_world / save / load / pose_eval (uniform stub).
+The per-step vote update runs as one jitted XLA launch
+(planning/occupancy.py); the planning-time morphology (dilation, connected
+components, distance transforms) stays on the host — it runs once per
+replanning event on a 768² grid.
+"""
+from __future__ import annotations
+
+import os
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import Camera, camera_from_intrinsics
+from .astar import AstarSearch, check_collision_free
+from .candidates import (generate_candidates, generate_random_gaussians,
+                         sample_random_candidates)
+from .occupancy import occ_update
+
+
+class LocalizationError(RuntimeError):
+    """Start cell enclosed by obstacles (reference astar.py:479-482)."""
+
+
+class NoFrontierError(RuntimeError):
+    """Exploration exhausted (reference tester:878-880)."""
+
+
+class AstarPlanner:
+    def __init__(self, slam_config, eval_dir: str = "", seed: int = 0):
+        self.cfg = slam_config
+        ex = slam_config["explore"]
+        pol = slam_config["policy"]
+        self.cell_size = float(ex["cell_size"])
+        self.height_upper = float(pol["height_upper"])
+        self.height_lower = float(pol["height_lower"])
+        self.add_random_gaussians = bool(ex["add_random_gaussians"])
+        self.K = int(ex["sample_view_num"])
+        self.K_object = int(slam_config["explore_object"]["sample_view_num"])
+        self.radius = float(ex["sample_range"])
+        self.radius_object = float(slam_config["explore_object"]["sample_range"])
+        self.min_range = float(ex["min_range"])
+        self.min_range_object = float(slam_config["explore_object"]["min_range"])
+        self.centering = bool(ex["centering"])
+        self.frontier_select_method = str(ex["frontier_select_method"])
+        self.shortcut_path = bool(ex["shortcut_path"])
+        self.pcd_far_distance = float(pol["pcd_far_distance"])
+        self.eval_dir = eval_dir
+        self.rng = np.random.default_rng(seed)
+
+        self.occ_map = None          # jnp (3, Gz, Gx)
+        self.occ_map_np = None       # dilated binary obstacle map
+        self.free_space_np = None
+        self.frontier = None
+        self.target_frontier = None
+        self.cam_pos = None          # [z, x] grid cell
+        self.map_center = None       # np (2,) world xz
+        self.grid_dim = None         # np (2,) [gx, gz]
+        self.cam_height = None
+        self.frame_idx = 0
+        self.previous_candidates = None
+        self._search = None
+        self.camera: Camera | None = None
+
+    # -- lifecycle ----------------------------------------------------------
+    def init(self, pose, intrinsic, scene_bounds=None,
+             img_size: tuple[int, int] = (256, 256)):
+        """(reference astar.py:65-106) 768² grid centered at the start pose,
+        or scene-bounds-sized when bounds are known."""
+        pose = np.asarray(pose, np.float64)
+        self.cam_height = float(pose[1, 3])
+        self.camera = camera_from_intrinsics(np.asarray(intrinsic),
+                                             img_size[1], img_size[0])
+        self.grid_dim = np.array([768, 768])
+        if scene_bounds is not None:
+            lo, hi = np.asarray(scene_bounds[0]), np.asarray(scene_bounds[1])
+            map_center = (hi[[0, 2]] + lo[[0, 2]]) / 2
+            self.grid_dim = np.array([
+                int((hi[0] - lo[0]) / self.cell_size + 1),
+                int((hi[2] - lo[2]) / self.cell_size + 1)])
+        else:
+            map_center = pose[[0, 2], 3]
+        self.map_center = np.asarray(map_center, np.float32)
+
+        occ = np.zeros((3, self.grid_dim[1], self.grid_dim[0]), np.float32)
+        occ[0] = 1.0
+        cx = int((pose[0, 3] - map_center[0]) / self.cell_size + self.grid_dim[0] // 2)
+        cz = int((pose[2, 3] - map_center[1]) / self.cell_size + self.grid_dim[1] // 2)
+        occ[2, cz - 1:cz + 2, cx - 1:cx + 2] = 2.0
+        self.cam_pos = np.array([cz, cx])
+        self.occ_map = jnp.asarray(occ)
+        self.frame_idx = 0
+
+    def update_occ_map(self, depth, c2w, t: int, downsample: int = 1):
+        self.frame_idx = int(t)
+        depth = np.asarray(depth, np.float32)
+        if depth.ndim == 3:
+            depth = depth.reshape(depth.shape[-2], depth.shape[-1])
+        c2w = np.asarray(c2w, np.float32)
+        self.occ_map, cam_pos = occ_update(
+            self.occ_map, jnp.asarray(depth), jnp.asarray(c2w), self.camera,
+            self.cell_size, jnp.asarray(self.map_center), self.height_lower,
+            self.height_upper, self.pcd_far_distance)
+        self.cam_pos = np.asarray(cam_pos)
+
+    # -- conversions (reference astar.py:1372-1381) -------------------------
+    def convert_to_map(self, coord):
+        cx = int((coord[0] - self.map_center[0]) / self.cell_size
+                 + self.grid_dim[0] // 2)
+        cz = int((coord[1] - self.map_center[1]) / self.cell_size
+                 + self.grid_dim[1] // 2)
+        return np.array([cx, cz])
+
+    def convert_to_world(self, coord):
+        return (np.asarray(coord) - self.grid_dim / 2) * self.cell_size + \
+            self.map_center
+
+    # -- free space / frontiers --------------------------------------------
+    def _occ_np(self):
+        return np.asarray(self.occ_map)
+
+    def build_connected_freespace(self, gaussian_points=None) -> np.ndarray:
+        """Connected-to-robot free region; Gaussian columns block cells
+        (reference astar.py:401-447)."""
+        occ = self._occ_np()
+        index = occ.argmax(axis=0)
+        free = (index == 2)
+
+        if free.sum() > 18 and gaussian_points is not None:
+            pts = np.asarray(gaussian_points)
+            sel = (pts[:, 1] >= self.height_lower) & (pts[:, 1] <= self.height_upper)
+            pts = pts[sel]
+            if len(pts):
+                gx, gz = self._discretize(pts[:, 0], pts[:, 2])
+                flat = gz.astype(np.int64) * self.grid_dim[0] + gx
+                uniq, counts = np.unique(flat, return_counts=True)
+                uniq = uniq[counts > 25]
+                free[uniq // self.grid_dim[0], uniq % self.grid_dim[0]] = False
+
+        kernel = np.ones((3, 3), np.uint8)
+        free = cv2.morphologyEx(free.astype(np.uint8), cv2.MORPH_OPEN, kernel)
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(free)
+        if n <= 1:
+            return free
+        order = np.argsort(stats[:, 4])
+        robot_label = order[-1] if order[-1] != 0 else order[-2]
+        return (labels == robot_label).astype(np.uint8)
+
+    def _discretize(self, x, z):
+        gx = np.floor((x - self.map_center[0]) / self.cell_size) + \
+            (self.grid_dim[0] - 1) // 2
+        gz = np.floor((z - self.map_center[1]) / self.cell_size) + \
+            (self.grid_dim[1] - 1) // 2
+        gx = np.clip(gx, 0, self.grid_dim[0] - 1).astype(np.int64)
+        gz = np.clip(gz, 0, self.grid_dim[1] - 1).astype(np.int64)
+        return gx, gz
+
+    def build_frontiers(self, gaussian_points=None):
+        """Frontier cells (free boundary ∧ unknown) in world coords
+        (reference astar.py:540-683).  Returns (frontier_points, free_space);
+        frontier_points is None when exploration is exhausted."""
+        free_space = self.build_connected_freespace(gaussian_points)
+        occ = self._occ_np()
+        index = occ.argmax(axis=0)
+        unknown = (index == 0)
+
+        kernel = np.ones((3, 3), np.uint8)
+        free_dil = cv2.dilate(free_space.astype(np.uint8), kernel)
+        boundary = free_dil - free_space
+        frontier = np.bitwise_and(boundary.astype(bool), unknown)
+        self.frontier = frontier.astype(np.uint8)
+        if frontier.sum() == 0:
+            self.target_frontier = None
+            return None, free_space
+
+        frontier = cv2.dilate(frontier.astype(np.uint8), kernel)
+        n_labels, labels = cv2.connectedComponents(frontier)
+        uniq, counts = np.unique(labels, return_counts=True)
+        uniq, counts = uniq[1:], counts[1:]
+        keep = counts > 10
+        uniq, counts = uniq[keep], counts[keep]
+        if len(uniq) == 0:
+            return None, free_space
+
+        target_label = -1
+        if self.frontier_select_method == "largest":
+            target_label = uniq[np.argmax(counts)]
+        elif self.frontier_select_method == "combined":
+            best = 0.0
+            for lab, cnt in zip(uniq, counts):
+                pos = np.stack(np.where(labels == lab), axis=1)
+                if len(pos) < 4:
+                    continue
+                dist = np.linalg.norm(pos - self.cam_pos, axis=1).mean()
+                score = cnt / (dist + 20.0)
+                if score > best:
+                    best, target_label = score, lab
+        elif self.frontier_select_method == "closest":
+            best = 1e4
+            for lab in uniq:
+                pos = np.stack(np.where(labels == lab), axis=1)
+                if len(pos) < 4:
+                    continue
+                dist = np.linalg.norm(pos - self.cam_pos, axis=1).mean()
+                if dist < best:
+                    best, target_label = dist, lab
+        if target_label == -1:
+            return None, free_space
+
+        self.target_frontier = (labels == target_label).astype(np.uint8)
+        pix = np.stack(np.where(self.target_frontier), axis=1)[:, [1, 0]]
+        world = (pix - np.array([[self.grid_dim[0] // 2,
+                                  self.grid_dim[1] // 2]])) * self.cell_size \
+            + self.map_center[None, :]
+
+        if gaussian_points is None:
+            # FBE: closest frontier at least 0.5 m away, else backward
+            # (reference astar.py:658-679)
+            agent = self.cam_pos[[1, 0]]          # to x, z cell coords
+            agent_w = self.convert_to_world(agent)
+            dist = np.linalg.norm(world - agent_w[None, :], axis=1)
+            valid = np.where(dist >= 0.5)[0]
+            if len(valid) > 0:
+                best_i = valid[np.argmin(dist[valid])]
+                return world[best_i:best_i + 1], free_space
+            ang = np.pi * 5 / 4
+            return (agent_w[None, :]
+                    + np.array([[-np.cos(ang), -np.sin(ang)]]) * 0.5,
+                    free_space)
+        return world, free_space
+
+    # -- start / A* ---------------------------------------------------------
+    def setup_start(self, start, gaussian_points=None, frame_idx: int = 0):
+        """(reference astar.py:449-538) binarize + inject Gaussian columns,
+        dilate, verify the start cell is reachable."""
+        occ = self._occ_np()
+        occupied = (occ.argmax(axis=0) == 1)
+        self.start = np.asarray(start, np.int64)
+
+        if gaussian_points is not None:
+            pts = np.asarray(gaussian_points)
+            lower_y, upper_y = self.cam_height - 1.0, self.cam_height
+            sel = (pts[:, 1] >= lower_y) & (pts[:, 1] <= upper_y)
+            pts = pts[sel]
+            if len(pts):
+                gx, gz = self._discretize(pts[:, 0], pts[:, 2])
+                flat = gz * self.grid_dim[0] + gx
+                uniq, counts = np.unique(flat, return_counts=True)
+                uniq = uniq[counts > 50]
+                occupied[uniq // self.grid_dim[0], uniq % self.grid_dim[0]] = True
+
+        binarymap = cv2.dilate(occupied.astype(np.uint8),
+                               np.ones((3, 3), np.uint8))
+        y, x = self.start
+        patch = binarymap[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2].copy()
+        if patch.size == 9:
+            patch[1, 1] = 0
+            if patch.sum() >= 8:
+                raise LocalizationError("start cell is enclosed")
+        binarymap[y, x] = 0
+        self.occ_map_np = binarymap
+        self.free_space_np = self.build_connected_freespace(gaussian_points)
+        self._search = AstarSearch(self.occ_map_np, self.free_space_np,
+                                   self.start)
+
+    def planning(self, goal) -> np.ndarray:
+        assert self._search is not None, "call setup_start first"
+        return self._search.plan(goal, shortcut=self.shortcut_path)
+
+    def CheckCollision(self, pt1, pt2, occ_map):
+        return check_collision_free(pt1, pt2, occ_map)
+
+    # -- global planning ----------------------------------------------------
+    def pose_eval(self, poses, *args):
+        """Uniform-score stub so planning runs without a SLAM backend
+        (reference astar.py:839-841)."""
+        return jnp.ones((poses.shape[0],)), poses
+
+    def global_planning(self, pose_evaluation_fn=None, gaussian_points=None,
+                        goal_proposal_fn=None, expansion=1, visualize=False,
+                        agent_pose=None, last_goal=None, slam=None):
+        """Frontier-driven candidate generation + EIG scoring + top-20
+        (reference astar.py:843-1000)."""
+        candidate_pos, free_space = self.build_frontiers(gaussian_points)
+        use_frontier = candidate_pos is not None
+        if pose_evaluation_fn is None and not use_frontier:
+            return None, None, None
+
+        random_gaussian_params = None
+        if self.add_random_gaussians:
+            random_gaussian_params = generate_random_gaussians(
+                candidate_pos, self.cell_size, self.cam_height, self.rng)
+
+        if candidate_pos is None and goal_proposal_fn is not None:
+            candidate_pos = goal_proposal_fn(self.K, self.cam_height)
+
+        candidate_pose = np.zeros((0, 4, 4), np.float32)
+        if candidate_pos is not None:
+            candidate_pos = np.asarray(candidate_pos)
+            if self.centering:
+                candidate_pos = candidate_pos.mean(axis=0, keepdims=True)
+            exp = float(expansion)
+            while len(candidate_pose) == 0:
+                candidate_pose = generate_candidates(
+                    candidate_pos, self.K, self.radius, self.min_range,
+                    self.cam_height, self.rng, expansion=exp)
+                exp *= 1.5
+                eroded = cv2.erode(free_space.astype(np.uint8),
+                                   np.ones((10, 10), np.uint8))
+                if eroded.sum() > 40:
+                    xy = candidate_pose[:, [0, 2], 3]
+                    gx = ((xy[:, 0] - self.map_center[0]) / self.cell_size
+                          + self.grid_dim[0] // 2).astype(np.int64)
+                    gz = ((xy[:, 1] - self.map_center[1]) / self.cell_size
+                          + self.grid_dim[1] // 2).astype(np.int64)
+                    gx = np.clip(gx, 0, self.grid_dim[0] - 1)
+                    gz = np.clip(gz, 0, self.grid_dim[1] - 1)
+                    candidate_pose = candidate_pose[eroded[gz, gx] > 0]
+                if exp > 100:
+                    break
+
+        if not use_frontier and agent_pose is not None:
+            random_pose = sample_random_candidates(
+                agent_pose, free_space, self.grid_dim, self.cell_size,
+                self.map_center, self.rng)
+            candidate_pose = (random_pose if len(candidate_pose) == 0 else
+                              np.concatenate([candidate_pose, random_pose]))
+
+        if len(candidate_pose) == 0:
+            return None, None, random_gaussian_params
+
+        if pose_evaluation_fn is None:
+            scores, poses = self.pose_eval(candidate_pose)
+        else:
+            scores, poses = pose_evaluation_fn(candidate_pose,
+                                               random_gaussian_params)
+        scores = np.asarray(scores)
+        poses = np.asarray(poses)
+
+        topk = 20
+        order = np.argsort(-scores, kind="stable")[:topk]
+        poses, scores = poses[order], scores[order]
+        self.previous_candidates = poses
+        return (jnp.asarray(poses), jnp.asarray(scores),
+                random_gaussian_params)
+
+    def global_planning_frontier(self, expansion=1, visualize=False,
+                                 agent_pose=None):
+        """Frontier-only (FBE) global goal: no Hessian scoring (reference
+        astar.py:1027-1149)."""
+        candidate_pos, free_space = self.build_frontiers(None)
+        if candidate_pos is None:
+            return None, None
+        return np.asarray(candidate_pos), free_space
+
+    def render_bev(self, slam):
+        """Top-down render through the SLAM map (reference astar.py:1779)."""
+        bev_c2w = np.array([[1.0, 0, 0, 0], [0, 0, -1, 0],
+                            [0, 1, 0, 0], [0, 0, 0, 1]], np.float32)
+        bev_c2w[:3, 3] = [self.map_center[0], 7.0, self.map_center[1]]
+        xyz = slam.gaussian_points
+        mask = xyz[:, 1] < self.cam_height
+        return slam.render_at_pose(bev_c2w, white_bg=True, mask=mask)
+
+    def occ_coord_to_3d(self, occ_coord):
+        pts = np.asarray(occ_coord)[:, [1, 0]]
+        world = (pts - np.array([[self.grid_dim[0] // 2,
+                                  self.grid_dim[1] // 2]])) * self.cell_size \
+            + self.map_center[None, :]
+        out = np.zeros((len(world), 3))
+        out[:, [0, 2]] = world
+        out[:, 1] = self.cam_height
+        return out
+
+    def get_map(self):
+        return self.occ_map
+
+    # -- persistence (reference astar.py:185-199) ---------------------------
+    def save(self, path: str):
+        np.savez_compressed(path, occ_map=self._occ_np(),
+                            map_center=self.map_center,
+                            grid_dim=self.grid_dim, frame_idx=self.frame_idx,
+                            cam_pos=self.cam_pos, cam_height=self.cam_height)
+
+    def load(self, path: str):
+        d = np.load(path)
+        self.occ_map = jnp.asarray(d["occ_map"])
+        self.map_center = d["map_center"]
+        self.grid_dim = d["grid_dim"]
+        self.frame_idx = int(d["frame_idx"])
+        self.cam_pos = d["cam_pos"]
+        self.cam_height = float(d["cam_height"])
