@@ -1,0 +1,238 @@
+"""ActiveMapper — the active-mapping episode driver.
+
+Re-architecture of the reference's NavTester
+(tester_gaussians_navigation.py:199-2949, test_navigation at :553):
+a host-side loop that feeds a simulator's RGB-D into the jitted SLAM /
+occupancy updates, and replans whenever the action queue drains —
+frontier-driven candidate poses scored by batched Fisher EIG, A* action
+compilation, and path-level EIG evaluation in a single XLA launch
+(engine/path_eval.py, vs the reference's per-pose python loops).
+
+Policies: 'gaussians_based' (FisherRF active mapping), 'frontier' (same
+planning without Hessian scores), 'random_walk', 'traj_reader' (pose
+replay, the deterministic test fixture).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from collections import deque
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.slam import GaussianSLAM
+from ..planning import AstarPlanner, LocalizationError, NoFrontierError
+from ..utils.pointcloud import GlobalPointCloud
+from .actions import action_planning, rollout_path_poses
+from .eval import (MetricsRecorder, accuracy_comp_ratio_from_pcl,
+                   eval_navigation)
+from .path_eval import path_eig_scores
+
+logger = logging.getLogger("fnc_tpu.driver")
+
+
+class ActiveMapper:
+    def __init__(self, cfg, sim, scene=None, policy_name: str | None = None,
+                 eval_dir: str | None = None, seed: int = 0,
+                 traj_actions=None):
+        self.cfg = cfg
+        self.sim = sim
+        self.scene = scene                    # BoxScene (GT access) or None
+        self.policy_name = policy_name or str(cfg.policy.name)
+        self.eval_dir = eval_dir or os.path.join(cfg.workdir, cfg.run_name)
+        os.makedirs(self.eval_dir, exist_ok=True)
+
+        self.slam = GaussianSLAM(cfg, eval_dir=self.eval_dir)
+        self.planner = AstarPlanner(cfg, eval_dir=self.eval_dir, seed=seed)
+        self.queue: deque[int] = deque()
+        self.rng = np.random.default_rng(seed)
+        self.global_pcl = GlobalPointCloud(keep_ratio=0.05, seed=seed)
+        self.metrics = MetricsRecorder(self.policy_name, "fake_scene")
+        self.traj_actions = list(traj_actions) if traj_actions else None
+
+        self.forward_step = float(cfg.forward_step_size)
+        self.turn_angle = float(cfg.turn_angle)
+        self.queue_size = int(cfg.policy.planning_queue_size)
+        self.max_steps = int(cfg.num_frames)
+        self.stuck_count = 0
+        self.last_goal = None
+        self.step_log: list[dict] = []
+
+    # -- setup --------------------------------------------------------------
+    def _init_episode(self):
+        obs = self.sim.get_observations()
+        c2w = obs["c2w"]
+        self.slam.init(obs["rgb"], obs["depth"], np.linalg.inv(c2w))
+        self.planner.init(c2w, self.sim.intrinsics,
+                          img_size=(self.slam.camera.height,
+                                    self.slam.camera.width))
+        self.planner.update_occ_map(obs["depth"], c2w, 0)
+        # init scan: 90° of turn-left steps (reference init_local_policy,
+        # tester:2803-2876 queues 9 x turn-left at 10°)
+        for _ in range(max(int(90.0 // self.turn_angle), 1)):
+            self.queue.append(2)
+        return obs
+
+    # -- planning -----------------------------------------------------------
+    def plan_best_path(self, current_agent_pose: np.ndarray, expansion: int,
+                       t: int):
+        """(reference tester:1596-1736) global candidates -> A* + actions ->
+        batched path EIG -> best action sequence."""
+        slam, planner = self.slam, self.planner
+        gaussian_points = slam.gaussian_points
+
+        if self.policy_name == "frontier":
+            pose_fn = None
+        else:
+            pose_fn = slam.pose_eval
+        global_points, eigs, _rgp = planner.global_planning(
+            pose_fn, gaussian_points, None, expansion=expansion,
+            agent_pose=current_agent_pose[:3, 3], last_goal=self.last_goal)
+        if global_points is None:
+            return None, None
+        global_points = np.asarray(global_points)
+        eigs = np.asarray(eigs)
+
+        try:
+            goals, path_actions, paths_arr = action_planning(
+                global_points, current_agent_pose, planner, gaussian_points,
+                t, self.forward_step, self.turn_angle, self.queue_size)
+        except LocalizationError:
+            return None, None
+        if not path_actions:
+            return None, None
+        goals, path_actions, paths_arr = (goals[:20], path_actions[:20],
+                                          paths_arr[:20])
+
+        if self.policy_name == "frontier":
+            best = 0       # FBE: first (closest-frontier) valid path
+        else:
+            h_train = slam.compute_H_train()
+            a_max = self.queue_size
+            n_paths = len(path_actions)
+            w2cs = np.tile(np.eye(4, dtype=np.float32),
+                           (n_paths, a_max, 1, 1))
+            valid = np.zeros((n_paths, a_max), bool)
+            for i, acts in enumerate(path_actions):
+                poses = rollout_path_poses(current_agent_pose, acts,
+                                           planner.cam_height,
+                                           self.forward_step, self.turn_angle)
+                w2cs[i, :len(acts)] = np.linalg.inv(poses)
+                valid[i, :len(acts)] = True
+            final_eigs = np.array(
+                [eigs[np.where((global_points == g).all(axis=(1, 2)))[0][0]]
+                 for g in goals], np.float32)
+            # log of the endpoint EIG (reference mixes log-EIGs; guard <= 0)
+            final_eigs = np.log(np.maximum(final_eigs, 1e-30))
+            scores = path_eig_scores(
+                slam.state, h_train, jnp.asarray(w2cs), jnp.asarray(valid),
+                jnp.asarray(final_eigs), slam.camera, slam.settings,
+                float(self.cfg.H_reg_lambda),
+                float(self.cfg.path_pose_weight),
+                float(self.cfg.path_point_weight),
+                float(self.cfg.path_end_weight),
+                int(self.cfg.acc_H_train_every),
+                bool(self.cfg.vol_weighted_H),
+                float(slam.gs_pts_cnt()))
+            best = int(np.argmax(np.asarray(scores)))
+
+        self.last_goal = goals[best]
+        return path_actions[best], paths_arr[best]
+
+    def _replan(self, c2w: np.ndarray, t: int):
+        expansion = 1
+        for _attempt in range(10):
+            if self.policy_name == "random_walk":
+                self.queue.extend(self._random_walk_actions())
+                return
+            actions, _path = self.plan_best_path(c2w, expansion, t)
+            if actions:
+                self.queue.extend(actions)
+                return
+            expansion += 1
+        raise NoFrontierError("no plan found after 10 expansions")
+
+    def _random_walk_actions(self):
+        acts = []
+        for _ in range(self.queue_size):
+            acts.append(int(self.rng.choice([1, 1, 1, 2, 3])))
+        return acts
+
+    # -- main loop ----------------------------------------------------------
+    def test_navigation(self, eval_every: int | None = None,
+                        recon_gt_points=None, on_step=None) -> dict:
+        obs = self._init_episode()
+        t = 0
+        done_reason = "max_steps"
+        while t < self.max_steps:
+            c2w = obs["c2w"]
+            self.slam.track_rgbd(obs["rgb"], obs["depth"],
+                                 gt_w2c=np.linalg.inv(c2w))
+            self.planner.update_occ_map(obs["depth"], c2w, t)
+            self.global_pcl.add_frame(np.asarray(obs["depth"]),
+                                      self.sim.intrinsics, c2w,
+                                      color=np.asarray(obs["rgb"]))
+
+            if self.traj_actions is not None:
+                if t >= len(self.traj_actions):
+                    done_reason = "traj_end"
+                    break
+                action = int(self.traj_actions[t])
+            else:
+                try:
+                    while not self.queue:
+                        self._replan(c2w, t)
+                except NoFrontierError:
+                    done_reason = "no_frontier"
+                    break
+                action = self.queue.popleft()
+
+            prev_pos = self.sim.c2w[:3, 3].copy() if hasattr(self.sim, "c2w") \
+                else c2w[:3, 3].copy()
+            obs = self.sim.step(action)
+            # stuck detection (reference tester:1144-1172)
+            if action == 1:
+                moved = np.linalg.norm(obs["c2w"][:3, 3] - prev_pos)
+                if moved < 1e-3:
+                    self.stuck_count += 1
+                    self.queue.clear()
+                    if self.stuck_count > 10:
+                        done_reason = "stuck"
+                        break
+
+            if recon_gt_points is not None and t % 25 == 0:
+                est = self.global_pcl.get()
+                m = accuracy_comp_ratio_from_pcl(est, recon_gt_points, 0.05)
+                self.metrics.record(t, **m)
+            if on_step is not None:
+                on_step(t, obs)
+            t += 1
+
+        result = dict(steps=t, done_reason=done_reason,
+                      n_gaussians=self.slam.n_active,
+                      n_keyframes=len(self.slam.keyframes))
+        if eval_every != 0 and self.scene is not None and \
+                hasattr(self.sim, "render_at"):
+            nav_eval = eval_navigation(self.slam, self.sim, self.scene,
+                                       n_poses=eval_every or 50,
+                                       cam_height=float(c2w[1, 3]))
+            result["eval"] = {k: v for k, v in nav_eval.items()
+                              if k != "per_pose"}
+        if recon_gt_points is not None:
+            est = self.global_pcl.get()
+            result["recon"] = accuracy_comp_ratio_from_pcl(
+                est, recon_gt_points, 0.05)
+            result["auc"] = self.metrics.auc()
+        return result
+
+    # -- checkpoint/resume (reference tester:2745-2800 load_3d_gaussian) ----
+    def save_checkpoint(self, t: int):
+        self.slam.save(t)
+        self.planner.save(os.path.join(self.eval_dir, "astar.npz"))
+
+    def resume(self, slam_ckpt: str):
+        self.slam.load(slam_ckpt)
+        astar_path = os.path.join(self.eval_dir, "astar.npz")
+        if os.path.exists(astar_path):
+            self.planner.load(astar_path)

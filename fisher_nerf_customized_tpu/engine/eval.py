@@ -1,0 +1,195 @@
+"""Evaluation: render quality, 3D reconstruction, coverage, AUC curves.
+
+Reference: tester_gaussians_navigation.py:1396-1559 eval_navigation (2000
+uniform navigable poses, PSNR/SSIM/LPIPS/depth-MAE), scripts/
+eval_3d_reconstruction.py:50-125 (KDTree accuracy/completion/ratio/FPR),
+scripts/evaluation.py:88 (5 cm NN coverage), scripts/auc_evaluation.py
+(per-step completeness curves + trapezoid AUC).
+
+LPIPS note: the reference uses pretrained AlexNet LPIPS; pretrained
+weights are unavailable in this offline environment, so `lpips_proxy`
+computes a deterministic random-feature perceptual distance (normalized
+multi-scale random-conv embeddings — same structure, fixed seed) and is
+reported under that explicit name.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..ops.image import calc_psnr, calc_ssim
+
+# ---------------------------------------------------------------------------
+# render-quality metrics
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=2)
+def _lpips_kernels_np(seed: int = 7):
+    # numpy-only cache (jnp constants made inside a jit trace would leak)
+    rng = np.random.default_rng(seed)
+    ks = []
+    cin = 3
+    for cout in (16, 32, 64):
+        k = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+        k /= np.sqrt(9 * cin)
+        ks.append(k)
+        cin = cout
+    return ks
+
+
+def _lpips_kernels(seed: int = 7):
+    return [jnp.asarray(k) for k in _lpips_kernels_np(seed)]
+
+
+@jax.jit
+def lpips_proxy(img1, img2):
+    """Deterministic perceptual distance from unit-normalized random conv
+    features at 3 scales (structure of LPIPS, no pretrained weights)."""
+    def feats(x):
+        x = (x[None] - 0.5) * 2.0
+        outs = []
+        for k in _lpips_kernels():
+            x = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.relu(x)
+            n = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+            outs.append(n)
+            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return outs
+    f1, f2 = feats(img1), feats(img2)
+    return sum(jnp.mean((a - b) ** 2) for a, b in zip(f1, f2))
+
+
+def render_metrics(render, gt_rgb, render_depth=None, gt_depth=None):
+    """PSNR / SSIM / lpips_proxy / depth-MAE for one view."""
+    render = jnp.clip(jnp.asarray(render), 0.0, 1.0)
+    gt_rgb = jnp.asarray(gt_rgb)
+    out = dict(psnr=float(calc_psnr(render, gt_rgb)),
+               ssim=float(calc_ssim(render, gt_rgb)),
+               lpips_proxy=float(lpips_proxy(render, gt_rgb)))
+    if render_depth is not None and gt_depth is not None:
+        gt_depth = np.asarray(gt_depth)
+        rd = np.asarray(render_depth)
+        valid = gt_depth > 0
+        out["depth_mae"] = float(np.abs(rd - gt_depth)[valid].mean()) \
+            if valid.any() else float("nan")
+    return out
+
+
+def uniform_eval_poses(scene, n_poses: int, cam_height: float,
+                       seed: int = 42) -> np.ndarray:
+    """Uniform navigable c2w poses with random yaw (reference
+    tester:1372-1393 uniform_rand_poses, rng seed 42)."""
+    rng = np.random.default_rng(seed)
+    xz = scene.sample_navigable(rng, n_poses)
+    yaw = rng.uniform(0, 2 * np.pi, n_poses)
+    poses = np.zeros((n_poses, 4, 4), np.float32)
+    c, s = np.cos(yaw), np.sin(yaw)
+    poses[:, 0, 0] = c
+    poses[:, 0, 2] = s
+    poses[:, 1, 1] = 1.0
+    poses[:, 2, 0] = -s
+    poses[:, 2, 2] = c
+    # CV camera (x right / y down / z fwd)
+    poses[:, :3, 0] *= -1
+    poses[:, :3, 1:2] = poses[:, :3, 1:2] * -1
+    poses[:, 0, 3] = xz[:, 0]
+    poses[:, 1, 3] = cam_height
+    poses[:, 2, 3] = xz[:, 1]
+    poses[:, 3, 3] = 1.0
+    return poses
+
+
+def eval_navigation(slam, sim, scene, n_poses: int = 200,
+                    cam_height: float = 1.25, seed: int = 42) -> dict:
+    """Held-out render quality over uniform navigable poses
+    (reference tester:1396-1529 eval_navigation)."""
+    poses = uniform_eval_poses(scene, n_poses, cam_height, seed)
+    per_pose = []
+    for c2w in poses:
+        gt_rgb, gt_depth = sim.render_at(c2w)
+        out = slam.render_at_pose(c2w)
+        m = render_metrics(out["render"], gt_rgb, np.asarray(out["depth"]),
+                           gt_depth)
+        per_pose.append(m)
+    agg = {k: float(np.mean([m[k] for m in per_pose]))
+           for k in per_pose[0]}
+    agg["n_poses"] = n_poses
+    agg["per_pose"] = per_pose
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# 3D reconstruction metrics
+# ---------------------------------------------------------------------------
+
+def accuracy_comp_ratio_from_pcl(est_pts: np.ndarray, gt_pts: np.ndarray,
+                                 dist_thresh: float = 0.05) -> dict:
+    """(reference scripts/eval_3d_reconstruction.py:84): accuracy = mean
+    est->gt NN distance, completion = mean gt->est, completion ratio =
+    fraction of gt within threshold, FPR = fraction of est beyond it."""
+    est = np.asarray(est_pts, np.float64)
+    gt = np.asarray(gt_pts, np.float64)
+    if len(est) == 0 or len(gt) == 0:
+        return dict(acc_distance=float("inf"), comp_distance=float("inf"),
+                    completeness_ratio=0.0, fpr=1.0)
+    d_e2g, _ = cKDTree(gt).query(est, k=1)
+    d_g2e, _ = cKDTree(est).query(gt, k=1)
+    return dict(
+        acc_distance=float(d_e2g.mean()),
+        comp_distance=float(d_g2e.mean()),
+        completeness_ratio=float((d_g2e < dist_thresh).mean() * 100.0),
+        fpr=float((1.0 - (d_e2g < dist_thresh).mean()) * 100.0),
+    )
+
+
+def coverage_percentage(gt_pts: np.ndarray, est_pts: np.ndarray,
+                        thresh: float = 0.05) -> float:
+    """% of GT surface within `thresh` of the estimated cloud
+    (reference scripts/evaluation.py:88)."""
+    if len(est_pts) == 0:
+        return 0.0
+    d, _ = cKDTree(np.asarray(est_pts)).query(np.asarray(gt_pts), k=1)
+    return float((d < thresh).mean() * 100.0)
+
+
+def trapezoid_auc(values, max_steps: int | None = None) -> float:
+    """Completeness-vs-step AUC (reference scripts/auc_evaluation.py:26,
+    curves padded with their last value)."""
+    v = np.asarray(values, np.float64)
+    if max_steps is not None and len(v) < max_steps:
+        v = np.concatenate([v, np.full(max_steps - len(v), v[-1] if len(v) else 0.0)])
+    if len(v) < 2:
+        return float(v[0]) if len(v) else 0.0
+    return float(np.trapezoid(v) / (len(v) - 1))
+
+
+class MetricsRecorder:
+    """Per-step metric curves + YAML dump in the reference's
+    object_recon_metrics.yaml shape (tester:1233-1289)."""
+
+    def __init__(self, policy: str, scene_id: str):
+        self.header = dict(policy=policy, scene=scene_id)
+        self.steps: list[dict] = []
+
+    def record(self, step: int, **metrics):
+        self.steps.append(dict(step=int(step), **{
+            k: float(v) for k, v in metrics.items()}))
+
+    def auc(self, key: str = "completeness_ratio", max_steps=None) -> float:
+        return trapezoid_auc([s[key] for s in self.steps if key in s],
+                             max_steps)
+
+    def dump(self, path: str):
+        import yaml
+        with open(path, "w") as f:
+            yaml.safe_dump(dict(**self.header, steps=self.steps,
+                                auc=self.auc() if self.steps else 0.0),
+                           f, sort_keys=False)

@@ -15,11 +15,17 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+def _gaussian_window_np(window_size: int = 11, sigma: float = 1.5):
+    # cache numpy (never jnp: a device constant created inside a jit trace
+    # would leak a tracer out of the cache)
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs ** 2) / (2 * sigma ** 2))
     g = (g / g.sum()).astype(np.float32)
-    return jnp.asarray(np.outer(g, g))
+    return np.outer(g, g)
+
+
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def _filter2d(img, window):

@@ -16,9 +16,6 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-
-# cache compiled executables across test runs (big win for the scan-heavy
-# rasterizer kernels)
-cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache — the container migrates between
+# hosts with different CPU feature sets and XLA:CPU AOT artifacts are not
+# machine-portable ("could lead to execution errors such as SIGILL").
