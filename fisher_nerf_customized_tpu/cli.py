@@ -1,0 +1,134 @@
+"""Command-line entry points.
+
+Mirrors the reference's CLI shape (reference main.py:27-53 /
+main_navigation.py / train_options.py:4-218: `python main.py
+--slam_config <yaml> --scenes_list <id> ...`) with one addition: a
+`--sim fake` backend so full episodes run hermetically (the default here,
+since habitat-sim is not part of this environment; `--sim habitat` routes
+through envs/habitat_adapter when habitat is installed).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("fisher_nerf_customized_tpu")
+    req = p.add_argument_group("Required")
+    req.add_argument("--name", default="test_pointnav_exp")
+    req.add_argument("--slam_config", type=str, default=None,
+                     help="experiment YAML (reference-format keys)")
+    req.add_argument("--dataset", type=str, default="fake",
+                     help="mp3d | hm3d | gibson | fake")
+    req.add_argument("--dataset_split", type=str, default="val")
+    p.add_argument("--scenes_list", nargs="+", default=["fake_room_0"])
+    p.add_argument("--sim", type=str, default="fake",
+                   choices=["fake", "habitat"])
+    p.add_argument("--policy", type=str, default=None,
+                   help="override cfg.policy.name")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--img_size", type=int, default=None)
+    p.add_argument("--log_dir", default="experiments/logs")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug", action="store_true",
+                   help="shrink init scans / iteration counts")
+    p.add_argument("--eval_poses", type=int, default=200)
+    p.add_argument("--save_data", action="store_true")
+    return p
+
+
+def load_config(args):
+    from .config import get_cfg_defaults
+    cfg = get_cfg_defaults()
+    if args.slam_config:
+        cfg.merge_from_file(args.slam_config)
+    if args.policy:
+        cfg.policy.name = args.policy
+    if args.max_steps is not None:
+        cfg.num_frames = args.max_steps
+    if args.img_size is not None:
+        cfg.img_height = cfg.img_width = args.img_size
+        cfg.SLAM.Dataset.Calibration.merge_from_other(dict(
+            width=args.img_size, height=args.img_size,
+            fx=args.img_size / 2, fy=args.img_size / 2,
+            cx=args.img_size / 2, cy=args.img_size / 2))
+    if args.debug:
+        cfg.mapping.num_iters = min(int(cfg.mapping.num_iters), 10)
+        cfg.num_frames = min(int(cfg.num_frames), 40)
+    return cfg
+
+
+def make_sim(args, cfg, scene_id: str):
+    from .ops.camera import Camera
+    h, w = int(cfg.SLAM.Dataset.Calibration.height), \
+        int(cfg.SLAM.Dataset.Calibration.width)
+    cam = Camera(fx=float(cfg.SLAM.Dataset.Calibration.fx),
+                 fy=float(cfg.SLAM.Dataset.Calibration.fy),
+                 cx=float(cfg.SLAM.Dataset.Calibration.cx),
+                 cy=float(cfg.SLAM.Dataset.Calibration.cy),
+                 width=w, height=h)
+    if args.sim == "habitat":
+        from .envs.habitat_adapter import HabitatSim
+        return HabitatSim(args, cfg, scene_id), None
+    from .envs.fake_sim import BoxScene, FakeSim
+    seed = abs(hash(scene_id)) % (2 ** 31)
+    scene = BoxScene.default(seed=seed)
+    sim = FakeSim(scene, cam, forward_step=float(cfg.forward_step_size),
+                  turn_angle=float(cfg.turn_angle), seed=args.seed)
+    return sim, scene
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    from .engine import ActiveMapper
+
+    results = {}
+    for scene_id in args.scenes_list:
+        sim, scene = make_sim(args, cfg, scene_id)
+        eval_dir = os.path.join(cfg.workdir, cfg.run_name, scene_id)
+        mapper = ActiveMapper(cfg, sim, scene=scene, eval_dir=eval_dir,
+                              seed=args.seed)
+        if args.resume and args.checkpoint:
+            mapper.resume(args.checkpoint)
+        gt = scene.sample_surface_points(100000) if scene is not None else None
+        result = mapper.test_navigation(eval_every=args.eval_poses,
+                                        recon_gt_points=gt)
+        mapper.save_checkpoint(result["steps"])
+        mapper.global_pcl.save_ply(os.path.join(
+            eval_dir, "pointcloud", f"global_pcl_{result['steps']}.ply"))
+        mapper.metrics.dump(os.path.join(eval_dir, "recon_metrics.yaml"))
+        with open(os.path.join(eval_dir, "result.json"), "w") as f:
+            json.dump(result, f, indent=2, default=float)
+        results[scene_id] = result
+        print(json.dumps({scene_id: result}, default=float))
+    return results
+
+
+def main_navigation(argv=None):
+    """Frontier-only pipeline (reference main_navigation.py)."""
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    from .engine import FrontierNavigator
+
+    results = {}
+    for scene_id in args.scenes_list:
+        sim, scene = make_sim(args, cfg, scene_id)
+        eval_dir = os.path.join(cfg.workdir, cfg.run_name, scene_id)
+        nav = FrontierNavigator(cfg, sim, scene=scene, eval_dir=eval_dir,
+                                seed=args.seed)
+        gt = scene.sample_surface_points(100000) if scene is not None else None
+        result = nav.frontier_test_navigation(recon_gt_points=gt)
+        nav.global_pcl.save_ply(os.path.join(
+            eval_dir, "pointcloud", f"global_pcl_{result['steps']}.ply"))
+        with open(os.path.join(eval_dir, "result.json"), "w") as f:
+            json.dump(result, f, indent=2, default=float)
+        results[scene_id] = result
+        print(json.dumps({scene_id: result}, default=float))
+    return results

@@ -1,3 +1,3 @@
-from .fake_sim import FakeSim, BoxScene, ReplaySim
+from .fake_sim import FakeSim, BoxScene, ReplaySim, SimObject
 
-__all__ = ["FakeSim", "BoxScene", "ReplaySim"]
+__all__ = ["FakeSim", "BoxScene", "ReplaySim", "SimObject"]

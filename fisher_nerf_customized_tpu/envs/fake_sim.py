@@ -140,6 +140,61 @@ class BoxScene:
         return free
 
 
+class SimObject:
+    """Kinematic dynamic object (an extra box) with random-walk motion.
+
+    Reference: SimObjects.py:5-163 SimObject — semantic id, translation /
+    rotation accessors, `moving_forward_and_back`, `moving_randomly`
+    (random yaw + bounce when the next position is non-navigable).
+    """
+
+    def __init__(self, scene: "BoxScene", semantic_id: int = 100,
+                 size=(0.3, 0.6, 0.3), start_xz=(0.8, -0.8),
+                 speed: float = 0.04, seed: int = 0):
+        self.scene = scene
+        self.semantic_id = int(semantic_id)
+        self.size = np.asarray(size, np.float32)
+        self.pos = np.array([start_xz[0], 0.0, start_xz[1]], np.float32)
+        self.yaw = 0.0
+        self.speed = float(speed)
+        self.rng = np.random.default_rng(seed)
+        self._dir = 1.0
+
+    @property
+    def translation(self) -> np.ndarray:
+        return self.pos.copy()
+
+    def set_translation(self, pos):
+        self.pos = np.asarray(pos, np.float32)
+
+    def aabb(self):
+        half = self.size / 2
+        lo = self.pos + np.array([-half[0], 0.0, -half[2]])
+        hi = self.pos + np.array([half[0], self.size[1], half[2]])
+        return tuple(lo), tuple(hi)
+
+    def _try_move(self, delta) -> bool:
+        nxt = self.pos + delta
+        if self.scene.is_navigable((nxt[0], 0.0, nxt[2])):
+            self.pos = nxt
+            return True
+        return False
+
+    def moving_forward_and_back(self):
+        """Oscillate along the current heading (SimObjects.py:84-92)."""
+        d = np.array([np.sin(self.yaw), 0.0, np.cos(self.yaw)]) \
+            * self.speed * self._dir
+        if not self._try_move(d):
+            self._dir *= -1.0
+
+    def moving_randomly(self):
+        """Random yaw jitter + bounce on non-navigable (SimObjects.py:94)."""
+        self.yaw += self.rng.uniform(-0.4, 0.4)
+        d = np.array([np.sin(self.yaw), 0.0, np.cos(self.yaw)]) * self.speed
+        if not self._try_move(d):
+            self.yaw = self.rng.uniform(0, 2 * np.pi)
+
+
 @functools.partial(jax.jit, static_argnames=("camera",))
 def _raycast(boxes: _Boxes, c2w, camera: Camera):
     """Per-pixel nearest-hit AABB raycast.  Returns (rgb, z_depth)."""
@@ -183,7 +238,7 @@ def _raycast(boxes: _Boxes, c2w, camera: Camera):
     rgb = jnp.stack([base_r * shade * stripes, base_g * shade,
                      base_b * (1.25 - 0.25 * checker)], axis=-1)
     rgb = jnp.clip(rgb, 0.0, 1.0)
-    return rgb, z_depth
+    return rgb, z_depth, best
 
 
 class FakeSim:
@@ -196,17 +251,34 @@ class FakeSim:
 
     def __init__(self, scene: BoxScene, camera: Camera,
                  forward_step: float = 0.065, turn_angle: float = 10.0,
-                 cam_height: float = 1.25, seed: int = 0):
+                 cam_height: float = 1.25, seed: int = 0,
+                 dynamic_object: SimObject | None = None):
         self.scene = scene
         self.camera = camera
         self.forward_step = float(forward_step)
         self.turn_angle = float(turn_angle)
         self.cam_height = float(cam_height)
         self._boxes = scene.boxes()
+        self.dynamic_object = dynamic_object
         self.rng = np.random.default_rng(seed)
         self.c2w = np.eye(4, dtype=np.float32)
         self.collided_last = False
         self.reset()
+
+    def _boxes_now(self):
+        """Static scene boxes + (optionally) the dynamic object's box."""
+        if self.dynamic_object is None:
+            return self._boxes, -1
+        lo, hi = self.dynamic_object.aabb()
+        b = self._boxes
+        obj_idx = b.lo.shape[0]
+        boxes = _Boxes(
+            lo=jnp.concatenate([b.lo, jnp.asarray([lo], jnp.float32)]),
+            hi=jnp.concatenate([b.hi, jnp.asarray([hi], jnp.float32)]),
+            inward=jnp.concatenate([b.inward, jnp.asarray([False])]),
+            color_seed=jnp.concatenate([b.color_seed,
+                                        jnp.asarray([17.0], jnp.float32)]))
+        return boxes, obj_idx
 
     def reset(self, start_xz=(0.0, 0.0), yaw: float = 0.0):
         c, s = np.cos(yaw), np.sin(yaw)
@@ -220,9 +292,15 @@ class FakeSim:
         return self.get_observations()
 
     def get_observations(self):
-        rgb, depth = _raycast(self._boxes, jnp.asarray(self.c2w), self.camera)
-        return dict(rgb=np.asarray(rgb), depth=np.asarray(depth),
-                    c2w=self.c2w.copy())
+        boxes, obj_idx = self._boxes_now()
+        rgb, depth, hit = _raycast(boxes, jnp.asarray(self.c2w), self.camera)
+        obs = dict(rgb=np.asarray(rgb), depth=np.asarray(depth),
+                   c2w=self.c2w.copy())
+        if self.dynamic_object is not None:
+            sem = np.where(np.asarray(hit) == obj_idx,
+                           self.dynamic_object.semantic_id, 0)
+            obs["semantic"] = sem.astype(np.int32)
+        return obs
 
     def step(self, action_id: int):
         next_c2w = compute_next_campos(self.c2w, int(action_id),
@@ -240,8 +318,9 @@ class FakeSim:
         self.c2w = np.asarray(c2w, np.float32)
 
     def render_at(self, c2w):
-        rgb, depth = _raycast(self._boxes, jnp.asarray(np.asarray(c2w, np.float32)),
-                              self.camera)
+        boxes, _ = self._boxes_now()
+        rgb, depth, _hit = _raycast(
+            boxes, jnp.asarray(np.asarray(c2w, np.float32)), self.camera)
         return np.asarray(rgb), np.asarray(depth)
 
     def is_navigable(self, pos) -> bool:

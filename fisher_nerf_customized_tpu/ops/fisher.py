@@ -186,6 +186,111 @@ def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
     return dict(H=h, radii=prep.radius, visible=prep.radius > 0)
 
 
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "n_probes"))
+def hutchinson_diag(camera: Camera, means_cam, scales, quats, opacities,
+                    colors, key, n_probes: int = 4, active=None,
+                    settings: RenderSettings = RenderSettings()):
+    """Unbiased diag(JᵀJ) over ALL Gaussian parameter groups via Hutchinson:
+    diag ≈ (1/K) Σ_k (Jᵀz_k)⊙(Jᵀz_k), z ~ N(0, I) over pixels·channels.
+
+    Reference: models/SLAM/gaussian_object.py:2049 estimate_diag_JtJ_simple
+    (K backward passes with retain_graph).  Here the K probes are a vmap
+    over cotangents of ONE jax.vjp (the VJP is linear in the cotangent).
+    Note the reference feeds its probes through the grad_power=2 backward
+    and squares again; this implementation uses the mathematically intended
+    plain-VJP Hutchinson — same diag(JᵀJ) target, unbiased.
+
+    Returns dict(means (N,3), opacity (N,1), rotations (N,4), scales (N,3),
+    radii, visible).
+    """
+    from .rasterize import render
+
+    def f(mc, sc, qt, op):
+        out = render(camera, mc, sc, qt, op, colors, active=active,
+                     settings=settings)
+        return out["color"]
+
+    img, vjp_fn = jax.vjp(f, means_cam, scales, quats, opacities)
+    zs = jax.random.normal(key, (n_probes,) + img.shape, img.dtype)
+    g_means, g_scales, g_quats, g_opac = jax.vmap(vjp_fn)(zs)
+    h = dict(
+        means=jnp.mean(g_means ** 2, axis=0),
+        scales=jnp.mean(g_scales ** 2, axis=0),
+        rotations=jnp.mean(g_quats ** 2, axis=0),
+        opacity=jnp.mean(g_opac ** 2, axis=0)[:, None],
+    )
+    prep = preprocess(means_cam, scales, quats, camera, active=active)
+    return dict(**h, radii=prep.radius, visible=prep.radius > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "n_probes"))
+def block_jtj(camera: Camera, means_cam, scales, quats, opacities, colors,
+              key, n_probes: int = 2, active=None,
+              settings: RenderSettings = RenderSettings()):
+    """Per-splat d×d JᵀJ blocks (d = 3+1+4+3 = 11: means, opacity,
+    rotations, scales) via Hutchinson outer products
+    (reference gaussian_object.py:2112 estimate_block_JtJ).
+
+    Returns (H_blocks (N, d, d), visible (N,)); rows for invisible splats
+    are zero (the reference gathers only visible rows — mask downstream)."""
+    from .rasterize import render
+
+    def f(mc, sc, qt, op):
+        out = render(camera, mc, sc, qt, op, colors, active=active,
+                     settings=settings)
+        return out["color"]
+
+    img, vjp_fn = jax.vjp(f, means_cam, scales, quats, opacities)
+    zs = jax.random.normal(key, (n_probes,) + img.shape, img.dtype)
+    g_means, g_scales, g_quats, g_opac = jax.vmap(vjp_fn)(zs)
+    g = jnp.concatenate([g_means, g_opac[..., None], g_quats, g_scales],
+                        axis=-1)                      # (K, N, 11)
+    blocks = jnp.mean(g[..., :, None] * g[..., None, :], axis=0)
+    prep = preprocess(means_cam, scales, quats, camera, active=active)
+    return dict(blocks=blocks, radii=prep.radius, visible=prep.radius > 0)
+
+
+def topt_score_from_diags(h_train_diag, jtj_diag, lam: float = 1e-6):
+    """T-optimality (maximize): -Σ 1/(H_train + JᵀJ + λ)
+    (reference gaussian_object.py:1705)."""
+    hpi = h_train_diag + jtj_diag + lam
+    return -jnp.sum(1.0 / jnp.maximum(hpi, 1e-12))
+
+
+def dopt_score_from_diags(h_train_diag, jtj_diag, lam: float = 1e-6):
+    """D-optimality (maximize): Σ log(H+J+λ) − Σ log(H+λ)
+    (reference gaussian_object.py:1712)."""
+    hm = jnp.maximum(h_train_diag + lam, 1e-12)
+    hpi = jnp.maximum(hm + jtj_diag, 1e-12)
+    return jnp.sum(jnp.log(hpi)) - jnp.sum(jnp.log(hm))
+
+
+def topt_score_blocks(h_blocks, j_blocks, valid, lam: float = 1e-6):
+    """Block T-opt: −Σ trace((H+J+λI)⁻¹) over valid splats
+    (reference gaussian_object.py:1720 t_opt_blocks)."""
+    d = h_blocks.shape[-1]
+    eye = jnp.eye(d)
+    hpi = h_blocks + j_blocks + lam * eye
+    hpi = jnp.where(valid[:, None, None], hpi, eye)
+    inv = jnp.linalg.inv(hpi)
+    tr = jnp.trace(inv, axis1=-2, axis2=-1)
+    return -jnp.sum(jnp.where(valid, tr, 0.0))
+
+
+def dopt_score_blocks(h_blocks, j_blocks, valid, lam: float = 1e-6):
+    """Block D-opt: Σ (logdet(H+J+λI) − logdet(H+λI))
+    (reference gaussian_object.py:1726 d_opt_blocks)."""
+    d = h_blocks.shape[-1]
+    eye = jnp.eye(d)
+    hm = h_blocks + lam * eye
+    hpi = hm + j_blocks
+    hm = jnp.where(valid[:, None, None], hm, eye)
+    hpi = jnp.where(valid[:, None, None], hpi, eye)
+    _, l1 = jnp.linalg.slogdet(hpi)
+    _, l0 = jnp.linalg.slogdet(hm)
+    return jnp.sum(jnp.where(valid, l1 - l0, 0.0))
+
+
 def fisher_diag_batch(camera: Camera, w2cs, means_world, scales, quats,
                       opacities, colors, grad_value: float = 1e-3,
                       active=None, settings: RenderSettings = RenderSettings()):

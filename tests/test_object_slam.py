@@ -1,0 +1,160 @@
+"""Object-centric SLAM + P-optimality tests (reference gaussian_object.py
+semantics on a FakeSim dynamic object)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fisher_nerf_customized_tpu.config import get_cfg_defaults
+from fisher_nerf_customized_tpu.envs.fake_sim import (BoxScene, FakeSim,
+                                                      SimObject)
+from fisher_nerf_customized_tpu.models.object_slam import GaussianObjectSLAM
+from fisher_nerf_customized_tpu.ops.camera import Camera
+from fisher_nerf_customized_tpu.ops.fisher import (dopt_score_from_diags,
+                                                   hutchinson_diag,
+                                                   topt_score_from_diags)
+from fisher_nerf_customized_tpu.ops.rasterize import RenderSettings
+
+IMG = 48
+
+
+def obj_cfg(tmp_path):
+    cfg = get_cfg_defaults()
+    cfg.SLAM.Dataset.Calibration.merge_from_other(dict(
+        fx=float(IMG), fy=float(IMG), cx=IMG / 2, cy=IMG / 2,
+        width=IMG, height=IMG))
+    cfg.workdir = str(tmp_path)
+    cfg.map_obj_every = 2
+    cfg.keyframe_obj_every = 2
+    cfg.downsample_pcd = 1
+    cfg.mapping.num_iters = 8
+    cfg.tpu.capacity = 4096
+    cfg.tpu.max_per_tile = 128
+    cfg.tpu.hutchinson_probes = 4
+    return cfg
+
+
+def make_obj_sim(seed=0):
+    cam = Camera(fx=float(IMG), fy=float(IMG), cx=IMG / 2, cy=IMG / 2,
+                 width=IMG, height=IMG)
+    scene = BoxScene(room_lo=(-3, 0, -3), room_hi=(3, 2.5, 3), obstacles=[])
+    obj = SimObject(scene, semantic_id=100, size=(0.5, 1.0, 0.5),
+                    start_xz=(0.0, 1.5), seed=seed)
+    sim = FakeSim(scene, cam, forward_step=0.1, turn_angle=30.0,
+                  dynamic_object=obj)
+    return sim, scene, obj
+
+
+def test_semantic_mask_present():
+    sim, scene, obj = make_obj_sim()
+    obs = sim.reset(start_xz=(0.0, 0.0), yaw=0.0)  # facing +z at the object
+    assert "semantic" in obs
+    mask = obs["semantic"] == 100
+    assert mask.sum() > 20
+    # masked depth is nearer than the wall behind
+    assert obs["depth"][mask].mean() < 2.0
+
+
+def test_sim_object_motion():
+    sim, scene, obj = make_obj_sim(seed=1)
+    p0 = obj.translation
+    for _ in range(20):
+        obj.moving_randomly()
+    assert np.linalg.norm(obj.translation - p0) > 0.05
+    assert scene.is_navigable(obj.translation[[0, 2]])
+
+
+def test_object_slam_tracks_masked(tmp_path):
+    sim, scene, obj = make_obj_sim()
+    oslam = GaussianObjectSLAM(obj_cfg(tmp_path))
+    obs = sim.reset(start_xz=(0.0, 0.0), yaw=0.0)
+    mask = obs["semantic"] == 100
+    n = oslam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]), mask)
+    assert 0 < n <= mask.sum()
+
+    for t in range(4):
+        obs = sim.step(1)
+        mask = obs["semantic"] == 100
+        oslam.track_rgbd(obs["rgb"], obs["depth"],
+                         gt_w2c=np.linalg.inv(obs["c2w"]),
+                         obj_mask_2d=mask, step=t)
+    assert oslam.n_active > 0
+    # all object Gaussians stay near the object (mask pruning works)
+    pts = oslam.gaussian_points
+    d = np.linalg.norm(pts[:, [0, 2]] - obj.translation[[0, 2]], axis=1)
+    assert np.median(d) < 1.0
+    inside, outside = oslam.count_gaussians_vs_mask(
+        np.linalg.inv(obs["c2w"]), mask)
+    assert inside > 0
+
+
+def test_object_hessian_shapes(tmp_path):
+    sim, scene, obj = make_obj_sim()
+    oslam = GaussianObjectSLAM(obj_cfg(tmp_path))
+    obs = sim.reset(yaw=0.0)
+    mask = obs["semantic"] == 100
+    oslam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]), mask)
+    h = oslam.compute_Hessian(np.linalg.inv(obs["c2w"]), return_points=True)
+    assert h.shape == (oslam.state.capacity, 11)
+    assert float(jnp.sum(h)) > 0
+    diag, vis = oslam.estimate_diag_JtJ_simple(np.linalg.inv(obs["c2w"]), K=2)
+    assert diag.shape == (oslam.state.capacity * 11,)
+    assert vis > 0
+
+
+def test_hutchinson_matches_exact_diag_small():
+    """Hutchinson with many probes converges to the exact diag(JᵀJ)
+    computed by jacrev, on a tiny scene."""
+    cam = Camera(fx=16.0, fy=16.0, cx=8.0, cy=8.0, width=16, height=16)
+    st = RenderSettings(tile_size=8, max_per_tile=16, chunk=8)
+    rng = np.random.default_rng(0)
+    n = 6
+    means = jnp.asarray(np.stack([rng.uniform(-0.3, 0.3, n),
+                                  rng.uniform(-0.3, 0.3, n),
+                                  rng.uniform(1.0, 2.5, n)], -1), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.08, 0.15, (n, 3)), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.4, 0.8, n), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+
+    out = hutchinson_diag(cam, means, scales, quats, opac, colors,
+                          jax.random.PRNGKey(0), n_probes=512, settings=st)
+
+    from fisher_nerf_customized_tpu.ops.rasterize import render
+
+    def f(op):
+        return render(cam, means, scales, quats, op, colors,
+                      settings=st)["color"].reshape(-1)
+
+    j = jax.jacrev(f)(opac)                 # (P*3, N)
+    exact = jnp.sum(j ** 2, axis=0)
+    got = out["opacity"][:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
+                               rtol=0.25, atol=1e-7)
+
+
+def test_popgs_scores_monotonicity():
+    h_train = jnp.asarray([1.0, 2.0, 0.5])
+    j_small = jnp.asarray([0.1, 0.1, 0.1])
+    j_big = jnp.asarray([1.0, 1.0, 1.0])
+    # more information -> higher T-opt and D-opt scores
+    assert float(topt_score_from_diags(h_train, j_big)) > \
+        float(topt_score_from_diags(h_train, j_small))
+    assert float(dopt_score_from_diags(h_train, j_big)) > \
+        float(dopt_score_from_diags(h_train, j_small))
+    # D-opt of zero info is zero
+    assert float(dopt_score_from_diags(h_train, jnp.zeros(3))) == \
+        pytest.approx(0.0, abs=1e-5)
+
+
+def test_object_pose_eval_popgs(tmp_path):
+    sim, scene, obj = make_obj_sim()
+    oslam = GaussianObjectSLAM(obj_cfg(tmp_path))
+    obs = sim.reset(yaw=0.0)
+    mask = obs["semantic"] == 100
+    oslam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]), mask)
+    poses = np.stack([obs["c2w"], obs["c2w"]])
+    for crit in ("topt", "dopt"):
+        scores, _ = oslam.pose_eval_popgs(poses, criterion=crit, K=2)
+        assert scores.shape == (2,)
+        assert np.all(np.isfinite(np.asarray(scores)))
