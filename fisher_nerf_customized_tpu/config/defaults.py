@@ -191,9 +191,13 @@ def get_cfg_defaults() -> ConfigNode:
     cfg.tpu = ConfigNode(dict(
         tile_size=16,              # rasterizer tile edge in pixels
         max_per_tile=512,          # fixed per-tile Gaussian capacity
+        fisher_tile_size=32,       # larger tiles for the Fisher pass: 4x
+                                   # fewer tiles -> 4x less binning memory
+                                   # -> wider vmap over candidate poses
+        fisher_max_per_tile=1024,
         capacity=65536,            # initial Gaussian-state slot capacity
         capacity_growth=2,         # grow factor when slots run out
-        pose_chunk=8,              # candidate poses evaluated per XLA launch
+        pose_chunk=32,             # candidate poses evaluated per XLA launch
         fisher_mode="sq_chain",    # sq_chain | hutchinson
         hutchinson_probes=8,
         mesh_axes=dict(data=1, model=1),

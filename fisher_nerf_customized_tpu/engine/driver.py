@@ -127,7 +127,7 @@ class ActiveMapper:
             final_eigs = np.log(np.maximum(final_eigs, 1e-30))
             scores = path_eig_scores(
                 slam.state, h_train, jnp.asarray(w2cs), jnp.asarray(valid),
-                jnp.asarray(final_eigs), slam.camera, slam.settings,
+                jnp.asarray(final_eigs), slam.camera, slam.fisher_settings,
                 float(self.cfg.H_reg_lambda),
                 float(self.cfg.path_pose_weight),
                 float(self.cfg.path_point_weight),

@@ -14,8 +14,9 @@ identically zero — and is kept only for config parity).
 
 TPU re-design: the reference runs one CUDA render+backward per action per
 path sequentially from python.  Here ALL paths evaluate in a single XLA
-launch: `lax.map` over paths, `lax.scan` over each path's (padded) pose
-sequence, with the running H_train_path carried on-device.
+launch: a `lax.scan` over the (padded) action steps whose body vmaps the
+Fisher render over ALL paths at once — the only sequential dependency is
+the per-path running H_train_path, carried on-device as a (P, N, 4) array.
 """
 from __future__ import annotations
 
@@ -48,38 +49,36 @@ def path_eig_scores(state: GaussianState, h_train, path_w2cs, path_valid,
     opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
     colors = params["rgb_colors"]
     active = jnp.arange(means_w.shape[0]) < state.n_active
+    n_paths = path_w2cs.shape[0]
 
-    def eval_one_path(args):
-        w2cs, valid, final_eig = args
+    def fisher_at(w2c):
+        mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
+        return fisher_diag(camera, mc, scales, quats, opac, colors,
+                           active=active, settings=settings)["H"]
 
-        def step(carry, inp):
-            h_path, total, count = carry
-            w2c, ok, s = inp
-            mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
-            out = fisher_diag(camera, mc, scales, quats, opac, colors,
-                              active=active, settings=settings)
-            cur_h = out["H"]
-            h_inv = 1.0 / (h_path + h_reg_lambda)
-            raw = jnp.sum(cur_h * h_inv)
-            if vol_weighted:
-                raw = raw / gs_pts_cnt
-            point_eig = jnp.log(jnp.maximum(raw, 1e-30))
-            # pose term: logdet(eye(6)) == 0 (kept for parity)
-            acc_now = ok & (((count + 2) % acc_every) == 0)
-            total = total + jnp.where(acc_now, path_point_weight * point_eig,
-                                      0.0)
-            h_path = h_path + jnp.where(acc_now, 1.0, 0.0) * cur_h
-            count = count + jnp.where(ok, 1, 0)
-            return (h_path, total, count), None
+    def step(carry, inp):
+        h_paths, totals, counts = carry        # (P,N,4), (P,), (P,)
+        w2cs_s, ok_s = inp                     # (P,4,4), (P,)
+        cur_h = jax.vmap(fisher_at)(w2cs_s)    # (P, N, 4)
+        h_inv = 1.0 / (h_paths + h_reg_lambda)
+        raw = jnp.sum(cur_h * h_inv, axis=(1, 2))
+        if vol_weighted:
+            raw = raw / gs_pts_cnt
+        point_eig = jnp.log(jnp.maximum(raw, 1e-30))
+        # pose term: logdet(eye(6)) == 0 (kept for parity)
+        acc_now = ok_s & (((counts + 2) % acc_every) == 0)
+        totals = totals + jnp.where(acc_now, path_point_weight * point_eig,
+                                    0.0)
+        h_paths = h_paths + jnp.where(acc_now, 1.0, 0.0)[:, None, None] * cur_h
+        counts = counts + jnp.where(ok_s, 1, 0)
+        return (h_paths, totals, counts), None
 
-        n_steps = w2cs.shape[0]
-        (h_path, total, count), _ = jax.lax.scan(
-            step, (h_train, 0.0, jnp.asarray(0, jnp.int32)),
-            (w2cs, valid, jnp.arange(n_steps)))
-        length = jnp.maximum(count.astype(jnp.float32), 1.0)
-        score = jnp.where(path_end_weight > 0,
-                          total / length + path_end_weight * final_eig,
-                          (total + final_eig) / length)
-        return score
-
-    return jax.lax.map(eval_one_path, (path_w2cs, path_valid, final_eigs))
+    h0 = jnp.broadcast_to(h_train[None], (n_paths,) + h_train.shape)
+    (h_paths, totals, counts), _ = jax.lax.scan(
+        step,
+        (h0, jnp.zeros((n_paths,)), jnp.zeros((n_paths,), jnp.int32)),
+        (jnp.swapaxes(path_w2cs, 0, 1), jnp.swapaxes(path_valid, 0, 1)))
+    length = jnp.maximum(counts.astype(jnp.float32), 1.0)
+    return jnp.where(path_end_weight > 0,
+                     totals / length + path_end_weight * final_eigs,
+                     (totals + final_eigs) / length)

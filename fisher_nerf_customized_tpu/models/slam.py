@@ -279,6 +279,13 @@ class GaussianSLAM:
                                        max_per_tile=int(tpu.max_per_tile),
                                        chunk=min(64, int(tpu.max_per_tile)),
                                        max_depth=float(tpu.max_depth))
+        # Fisher/EIG renders use bigger tiles: binning buffers scale with
+        # the tile count, and the pose batch is vmapped over them
+        self.fisher_settings = RenderSettings(
+            tile_size=int(tpu.get("fisher_tile_size", tpu.tile_size)),
+            max_per_tile=int(tpu.get("fisher_max_per_tile", tpu.max_per_tile)),
+            chunk=min(64, int(tpu.get("fisher_max_per_tile", tpu.max_per_tile))),
+            max_depth=float(tpu.max_depth))
         mp = cfg.mapping
         self.mc = MappingConfig(
             num_iters=int(mp.num_iters),
@@ -350,18 +357,20 @@ class GaussianSLAM:
     # -- reference API ------------------------------------------------------
     def init(self, color, depth, w2c=None):
         """First-frame initialization (reference gaussian.py:473-530):
-        back-project every pixel with depth > 10*cell_size into Gaussians."""
+        back-project the downsample_pcd-strided pixel grid where
+        depth > 10*cell_size into Gaussians."""
         color, depth = self._prep_inputs(color, depth)
         w2c = np.eye(4, dtype=np.float32) if w2c is None else np.asarray(w2c, np.float32)
         self.frame_idx = 0
         self.poses_w2c = [w2c]
         cell = float(self.cfg.explore.cell_size)
         h, w = depth.shape
-        self._ensure_capacity(h * w)
+        ds = self.mc.downsample_pcd
+        self._ensure_capacity((h // ds) * (w // ds))
 
         state, dropped, n_added = _init_first_frame(
             self.state, jnp.asarray(color), jnp.asarray(depth),
-            jnp.asarray(w2c), 10.0 * cell, self.camera)
+            jnp.asarray(w2c), 10.0 * cell, self.camera, ds)
         self.state = state
         self.keyframes.append(color, depth, w2c, 0)
         self.keyframe_time_indices.append(0)
@@ -449,7 +458,8 @@ class GaussianSLAM:
         — and the pose Hessian is the same identity placeholder
         (gaussian.py:1570)."""
         w2c = jnp.asarray(np.asarray(rel_w2c, np.float32))
-        out = _fisher_batch(self.state, w2c[None], self.camera, self.settings)
+        out = _fisher_batch(self.state, w2c[None], self.camera,
+                            self.fisher_settings)
         h = out["H"][0]
         if not return_points:
             h = h.reshape(-1)
@@ -470,7 +480,7 @@ class GaussianSLAM:
             if pad:
                 chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
             out = _fisher_batch(self.state, jnp.asarray(chunk), self.camera,
-                                self.settings)
+                                self.fisher_settings)
             h = out["H"][: len(w2cs[i:i + ck])] if pad else out["H"]
             h_train = h_train + jnp.sum(h, axis=0)
         return h_train
@@ -492,7 +502,7 @@ class GaussianSLAM:
                     [chunk, np.tile(np.eye(4, dtype=np.float32),
                                     (ck - n_real, 1, 1))])
             s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
-                             self.camera, self.settings)
+                             self.camera, self.fisher_settings)
             scores.append(np.asarray(s)[:n_real])
         return jnp.asarray(np.concatenate(scores)), jnp.asarray(poses)
 
@@ -553,15 +563,18 @@ class GaussianSLAM:
         pass
 
 
-@functools.partial(jax.jit, static_argnames=("camera",))
+@functools.partial(jax.jit, static_argnames=("camera", "ds"))
 def _init_first_frame(state: GaussianState, color, depth, w2c,
-                      min_depth: float, camera: Camera):
-    """Back-project the full first frame (reference gaussian.py:505:
-    mask = depth > 10*cell_size)."""
+                      min_depth: float, camera: Camera, ds: int = 1):
+    """Back-project the first frame on the ds-strided pixel grid
+    (reference gaussian.py:505-510: mask = depth > 10*cell_size,
+    downsample = downsample_pcd)."""
     h, w = depth.shape
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(0, h, ds, dtype=jnp.float32)
+    xs = jnp.arange(0, w, ds, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    depth = depth[::ds, ::ds]
+    color = color[::ds, ::ds]
     px = (gx - camera.cx) / camera.fx
     py = (gy - camera.cy) / camera.fy
     pts_cam = jnp.stack([px * depth, py * depth, depth], axis=-1).reshape(-1, 3)
@@ -569,7 +582,7 @@ def _init_first_frame(state: GaussianState, color, depth, w2c,
     pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
     cols = color.reshape(-1, 3)
     z = depth.reshape(-1)
-    scale = z / ((camera.fx + camera.fy) / 2.0)
+    scale = ds * z / ((camera.fx + camera.fy) / 2.0)
     m = pts_w.shape[0]
     new_params = dict(
         means3D=pts_w,

@@ -55,7 +55,8 @@ def test_slam_init_creates_gaussians(tmp_path):
     sim = make_sim()
     obs = sim.reset()
     n = slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
-    assert n > 0.9 * IMG * IMG          # nearly all pixels have valid depth
+    # init back-projects the downsample_pcd(=2)-strided grid
+    assert n > 0.9 * (IMG // 2) * (IMG // 2)
     assert slam.n_active == n
 
 
