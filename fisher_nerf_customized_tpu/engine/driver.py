@@ -111,20 +111,23 @@ class ActiveMapper:
             h_train = slam.compute_H_train()
             a_max = self.queue_size
             n_paths = len(path_actions)
+            # pad the path axis to a fixed 20 so path_eig_scores compiles
+            # once per episode (padding rows get -inf final EIG)
+            p_max = 20
             w2cs = np.tile(np.eye(4, dtype=np.float32),
-                           (n_paths, a_max, 1, 1))
-            valid = np.zeros((n_paths, a_max), bool)
+                           (p_max, a_max, 1, 1))
+            valid = np.zeros((p_max, a_max), bool)
             for i, acts in enumerate(path_actions):
                 poses = rollout_path_poses(current_agent_pose, acts,
                                            planner.cam_height,
                                            self.forward_step, self.turn_angle)
                 w2cs[i, :len(acts)] = np.linalg.inv(poses)
                 valid[i, :len(acts)] = True
-            final_eigs = np.array(
-                [eigs[np.where((global_points == g).all(axis=(1, 2)))[0][0]]
-                 for g in goals], np.float32)
-            # log of the endpoint EIG (reference mixes log-EIGs; guard <= 0)
-            final_eigs = np.log(np.maximum(final_eigs, 1e-30))
+            final_eigs = np.full((p_max,), -np.inf, np.float32)
+            for i, g in enumerate(goals):
+                e = eigs[np.where((global_points == g).all(axis=(1, 2)))[0][0]]
+                # log of the endpoint EIG (reference mixes log-EIGs)
+                final_eigs[i] = np.log(max(float(e), 1e-30))
             scores = path_eig_scores(
                 slam.state, h_train, jnp.asarray(w2cs), jnp.asarray(valid),
                 jnp.asarray(final_eigs), slam.camera, slam.fisher_settings,
@@ -135,7 +138,7 @@ class ActiveMapper:
                 int(self.cfg.acc_H_train_every),
                 bool(self.cfg.vol_weighted_H),
                 float(slam.gs_pts_cnt()))
-            best = int(np.argmax(np.asarray(scores)))
+            best = int(np.argmax(np.asarray(scores)[:n_paths]))
 
         self.last_goal = goals[best]
         return path_actions[best], paths_arr[best]

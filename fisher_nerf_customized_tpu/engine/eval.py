@@ -127,6 +127,38 @@ def eval_navigation(slam, sim, scene, n_poses: int = 200,
 
 
 # ---------------------------------------------------------------------------
+# trajectory metrics
+# ---------------------------------------------------------------------------
+
+def align_trajectories(model: np.ndarray, data: np.ndarray):
+    """Horn-method SE(3) alignment of two (3, N) trajectories (reference
+    models/SLAM/utils/eval_helpers.py:20 align).  Returns (R, t, trans_err)."""
+    model_mean = model.mean(axis=1, keepdims=True)
+    data_mean = data.mean(axis=1, keepdims=True)
+    mz = model - model_mean
+    dz = data - data_mean
+    W = mz @ dz.T
+    U, _d, Vt = np.linalg.svd(W.T)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    t = data_mean - R @ model_mean
+    aligned = R @ model + t
+    err = np.linalg.norm(aligned - data, axis=0)
+    return R, t, err
+
+
+def evaluate_ate(gt_poses: np.ndarray, est_poses: np.ndarray) -> float:
+    """Absolute trajectory error RMSE after alignment (reference
+    eval_helpers.py:58 evaluate_ate).  Poses are (N, 4, 4) c2w."""
+    gt = np.asarray(gt_poses)[:, :3, 3].T
+    est = np.asarray(est_poses)[:, :3, 3].T
+    _R, _t, err = align_trajectories(est, gt)
+    return float(np.sqrt(np.mean(err ** 2)))
+
+
+# ---------------------------------------------------------------------------
 # 3D reconstruction metrics
 # ---------------------------------------------------------------------------
 

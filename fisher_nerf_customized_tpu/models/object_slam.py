@@ -175,7 +175,7 @@ class GaussianObjectSLAM(GaussianSLAM):
         ds = self.mc.downsample_pcd
         self._ensure_capacity(
             (self.camera.height // ds) * (self.camera.width // ds))
-        self.state, _dropped, _added = _densify(
+        self.state, _dropped, _added, _overflow = _densify(
             self.state, jnp.asarray(color), jnp.asarray(masked_depth),
             jnp.asarray(w2c), float(time_idx), self.camera, self.settings,
             self.mc)

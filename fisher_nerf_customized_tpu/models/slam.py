@@ -164,6 +164,95 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
     return new_state, losses
 
 
+class TrackingConfig(NamedTuple):
+    """Static tracking hyperparameters (reference configs/base_config.py
+    tracking block)."""
+    num_iters: int
+    sil_thres: float
+    depth_weight: float
+    im_weight: float
+    lr_trans: float
+    lr_rot: float
+    use_sil_for_loss: bool
+    ignore_outlier_depth_loss: bool
+    depth_loss_thres: float
+    use_depth_loss_thres: bool
+
+
+def _tracking_loss(cam_q, cam_t, params, n_active, gt_color, gt_depth,
+                   camera, settings, tc: TrackingConfig):
+    """Camera-only loss: silhouette-masked SUM losses (reference
+    slam_helpers.py:23 calc_loss tracking branch + gaussian.py:184
+    get_loss masks; Gaussians are constants, only (cam_q, cam_t) carry
+    gradients — the reference's transform_to_frame camera_grad=True)."""
+    from ..utils.geometry import quat_to_rotmat
+    R = quat_to_rotmat(cam_q)
+    p = {k: jax.lax.stop_gradient(v) for k, v in params.items()}
+    means_cam = p["means3D"] @ R.T + cam_t
+    scales = jnp.exp(p["log_scales"])
+    opac = jax.nn.sigmoid(p["logit_opacities"][:, 0])
+    z = means_cam[:, 2:3]
+    colors = jnp.concatenate([p["rgb_colors"], z, jnp.ones_like(z), z * z],
+                             axis=-1)
+    active = jnp.arange(means_cam.shape[0]) < n_active
+    out = render(camera, means_cam, scales, p["unnorm_rotations"], opac,
+                 colors, active=active, settings=settings)
+    depth = out["color"][..., 3]
+    sil = out["color"][..., 4]
+    im = out["color"][..., :3]
+
+    mask = (gt_depth > 0) & jnp.isfinite(depth)
+    if tc.ignore_outlier_depth_loss:
+        err = jnp.abs(gt_depth - depth) * (gt_depth > 0)
+        mask = mask & (err < 10.0 * jnp.median(err))
+    if tc.use_sil_for_loss:
+        mask = mask & (sil > tc.sil_thres)
+    mask = jax.lax.stop_gradient(mask)
+
+    depth_l = jnp.sum(jnp.abs(gt_depth - depth) * mask)
+    im_l = jnp.sum(jnp.abs(im - gt_color) * mask[..., None])
+    loss = tc.depth_weight * depth_l + tc.im_weight * im_l
+    return loss, depth_l
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "tc"))
+def _tracking_phase(state: GaussianState, cam_q0, cam_t0, gt_color, gt_depth,
+                    camera: Camera, settings: RenderSettings,
+                    tc: TrackingConfig):
+    """Pose optimization: num_iters Adam steps on (quat, trans) keeping the
+    best-loss candidate (reference gaussian.py:607-670)."""
+    params = state.params()
+    grad_fn = jax.value_and_grad(
+        lambda q, t: _tracking_loss(q, t, params, state.n_active, gt_color,
+                                    gt_depth, camera, settings, tc),
+        argnums=(0, 1), has_aux=True)
+
+    def body(carry, _):
+        q, t, mq, vq, mt, vt, cnt, best_loss, best_q, best_t = carry
+        (loss, depth_l), (gq, gt_) = grad_fn(q, t)
+        cnt = cnt + 1
+        tt = cnt.astype(jnp.float32)
+        bc1, bc2 = 1 - 0.9 ** tt, 1 - 0.999 ** tt
+        mq = 0.9 * mq + 0.1 * gq
+        vq = 0.999 * vq + 0.001 * gq * gq
+        q = q - tc.lr_rot * (mq / bc1) / (jnp.sqrt(vq / bc2) + 1e-8)
+        mt = 0.9 * mt + 0.1 * gt_
+        vt = 0.999 * vt + 0.001 * gt_ * gt_
+        t = t - tc.lr_trans * (mt / bc1) / (jnp.sqrt(vt / bc2) + 1e-8)
+        better = loss < best_loss
+        best_loss = jnp.where(better, loss, best_loss)
+        best_q = jnp.where(better, q, best_q)
+        best_t = jnp.where(better, t, best_t)
+        return (q, t, mq, vq, mt, vt, cnt, best_loss, best_q, best_t), depth_l
+
+    zeros4, zeros3 = jnp.zeros(4), jnp.zeros(3)
+    init = (cam_q0, cam_t0, zeros4, zeros4, zeros3, zeros3,
+            jnp.asarray(0, jnp.int32), jnp.inf, cam_q0, cam_t0)
+    carry, depth_ls = jax.lax.scan(body, init, None, length=tc.num_iters)
+    _, _, _, _, _, _, _, best_loss, best_q, best_t = carry
+    return best_q, best_t, best_loss, depth_ls[-1]
+
+
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "mc"))
 def _densify(state: GaussianState, color, depth, w2c, time_idx,
              camera: Camera, settings: RenderSettings, mc: MappingConfig):
@@ -214,7 +303,7 @@ def _densify(state: GaussianState, color, depth, w2c, time_idx,
     )
     cand_mask = cand_mask & (zs.reshape(-1) > 0.01)
     new_state, dropped = add_gaussians(state, new_params, cand_mask, time_idx)
-    return new_state, dropped, jnp.sum(cand_mask.astype(jnp.int32))
+    return new_state, dropped, jnp.sum(cand_mask.astype(jnp.int32)), out["overflow"]
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "white_bg"))
@@ -306,6 +395,21 @@ class GaussianSLAM:
             depth_error_ratio=float(mp.densify_dict.depth_error_ratio),
             downsample_pcd=int(cfg.downsample_pcd),
         )
+        tr = cfg.tracking
+        self.tc = TrackingConfig(
+            num_iters=int(tr.num_iters),
+            sil_thres=float(tr.sil_thres),
+            depth_weight=float(tr.loss_weights.depth),
+            im_weight=float(tr.loss_weights.im),
+            lr_trans=float(tr.lrs.cam_trans),
+            lr_rot=float(tr.lrs.cam_unnorm_rots),
+            use_sil_for_loss=bool(tr.use_sil_for_loss),
+            ignore_outlier_depth_loss=bool(tr.ignore_outlier_depth_loss),
+            depth_loss_thres=float(tr.depth_loss_thres),
+            use_depth_loss_thres=bool(tr.use_depth_loss_thres),
+        )
+        self.use_gt_poses = bool(tr.use_gt_poses)
+        self.forward_prop = bool(tr.forward_prop)
         self.state = empty_state(int(tpu.capacity))
         self.pose_chunk = int(tpu.pose_chunk)
         self.intrinsics = np.asarray(self.camera.intrinsics)
@@ -385,8 +489,10 @@ class GaussianSLAM:
             return
         color, depth = self._prep_inputs(color, depth)
         time_idx = self.frame_idx + 1
-        w2c = (np.asarray(gt_w2c, np.float32) if gt_w2c is not None
-               else self.poses_w2c[-1])
+        if self.use_gt_poses and gt_w2c is not None:
+            w2c = np.asarray(gt_w2c, np.float32)
+        else:
+            w2c = self._track_pose(color, depth)
         self.poses_w2c.append(w2c)
 
         cfgc = self.cfg
@@ -400,18 +506,59 @@ class GaussianSLAM:
 
         self.frame_idx = time_idx
 
+    def _track_pose(self, color, depth) -> np.ndarray:
+        """Optimized tracking (use_gt_poses false): constant-velocity
+        forward propagation (reference gaussian.py initialize_camera_pose)
+        then Adam pose refinement with best-candidate keep and one
+        depth-loss-threshold iteration doubling (gaussian.py:607-670)."""
+        from ..utils.geometry import rotmat_to_quat, quat_to_rotmat, quat_mult
+        prev = self.poses_w2c[-1]
+        q_prev = np.asarray(rotmat_to_quat(jnp.asarray(prev[:3, :3])))
+        t_prev = prev[:3, 3]
+        if self.forward_prop and len(self.poses_w2c) >= 2:
+            prev2 = self.poses_w2c[-2]
+            q_prev2 = np.asarray(rotmat_to_quat(jnp.asarray(prev2[:3, :3])))
+            # delta = q_prev2^-1 * q_prev; init = q_prev * delta
+            conj = q_prev2 * np.array([1.0, -1, -1, -1])
+            delta = np.asarray(quat_mult(jnp.asarray(conj), jnp.asarray(q_prev)))
+            q0 = np.asarray(quat_mult(jnp.asarray(q_prev), jnp.asarray(delta)))
+            t0 = t_prev + (t_prev - prev2[:3, 3])
+        else:
+            q0, t0 = q_prev, t_prev
+
+        best_q, best_t, best_loss, depth_l = _tracking_phase(
+            self.state, jnp.asarray(q0, jnp.float32),
+            jnp.asarray(t0, jnp.float32), jnp.asarray(color),
+            jnp.asarray(depth), self.camera, self.settings, self.tc)
+        if (self.tc.use_depth_loss_thres
+                and float(depth_l) >= self.tc.depth_loss_thres):
+            best_q, best_t, _bl, _dl = _tracking_phase(
+                self.state, best_q, best_t, jnp.asarray(color),
+                jnp.asarray(depth), self.camera, self.settings,
+                self.tc._replace(num_iters=2 * self.tc.num_iters))
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = np.asarray(quat_to_rotmat(best_q))
+        w2c[:3, 3] = np.asarray(best_t)
+        return w2c
+
     def _mapping_event(self, color, depth, w2c, time_idx):
         cfgc = self.cfg
         if bool(cfgc.mapping.add_new_gaussians) and time_idx > 0:
             ds = self.mc.downsample_pcd
             self._ensure_capacity(
                 (self.camera.height // ds) * (self.camera.width // ds))
-            self.state, dropped, _added = _densify(
+            self.state, dropped, _added, overflow = _densify(
                 self.state, jnp.asarray(color), jnp.asarray(depth),
                 jnp.asarray(w2c), float(time_idx), self.camera,
                 self.settings, self.mc)
             if int(dropped) > 0:   # capacity guard tripped mid-event
                 self._ensure_capacity(int(dropped) + 1024)
+            if int(overflow) > 0:
+                import logging
+                logging.getLogger("fnc_tpu.slam").warning(
+                    "tile overflow: %d splat-tile entries truncated — "
+                    "raise cfg.tpu.max_per_tile (geometry quality degrades)",
+                    int(overflow))
 
         # keyframe window selection (gaussian.py:700-722)
         num_kf = int(cfgc.mapping_window_size) - 2

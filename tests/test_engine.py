@@ -35,7 +35,8 @@ def episode_cfg(tmp_path, policy="gaussians_based", steps=24):
     cfg.explore.sample_view_num = 16
     cfg.explore.frontier_select_method = "combined"
     cfg.tpu.capacity = 8192
-    cfg.tpu.max_per_tile = 128
+    cfg.tpu.tile_size = 8
+    cfg.tpu.max_per_tile = 512
     cfg.tpu.pose_chunk = 4
     return cfg
 

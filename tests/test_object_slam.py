@@ -29,7 +29,8 @@ def obj_cfg(tmp_path):
     cfg.downsample_pcd = 1
     cfg.mapping.num_iters = 8
     cfg.tpu.capacity = 4096
-    cfg.tpu.max_per_tile = 128
+    cfg.tpu.tile_size = 8
+    cfg.tpu.max_per_tile = 512
     cfg.tpu.hutchinson_probes = 4
     return cfg
 

@@ -23,8 +23,8 @@ def small_cfg(tmp_path):
     cfg.workdir = str(tmp_path)
     cfg.mapping.num_iters = 4
     cfg.tpu.capacity = 4096
-    cfg.tpu.tile_size = 16
-    cfg.tpu.max_per_tile = 64
+    cfg.tpu.tile_size = 8
+    cfg.tpu.max_per_tile = 256
     cfg.tpu.pose_chunk = 2
     return cfg
 

@@ -26,8 +26,8 @@ def small_cfg(tmp_path):
     cfg.mapping.prune_gaussians = True
     cfg.mapping.pruning_dict.prune_every = 6
     cfg.tpu.capacity = 8192
-    cfg.tpu.tile_size = 16
-    cfg.tpu.max_per_tile = 128
+    cfg.tpu.tile_size = 8
+    cfg.tpu.max_per_tile = 512
     cfg.tpu.pose_chunk = 2
     return cfg
 
