@@ -74,9 +74,11 @@ def test_mapping_step_sharded_reduces_loss(tmp_path):
     w2cs = jnp.asarray(np.tile(np.linalg.inv(obs["c2w"])[None], (8, 1, 1)))
 
     params = slam.state.params()
+    # degrade opacities so the gradient step has clear signal
+    params["logit_opacities"] = params["logit_opacities"] - 2.0
     opt = adam_init(params)
     losses = []
-    for _ in range(4):
+    for _ in range(6):
         params, opt, loss = step(params, opt, slam.state.n_active, colors,
                                  depths, w2cs)
         losses.append(float(loss))
