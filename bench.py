@@ -66,7 +66,10 @@ def build():
     return mapper, scene
 
 
-def bench_rasterizer(n: int = 131072, iters: int = 20):
+def bench_rasterizer(n: int = 131072, iters: int = 32, n_scenes: int = 4):
+    """Pipelined render throughput at 256² over distinct scenes (async
+    dispatch overlaps device work with the host loop — the relevant number
+    for the batched planning paths)."""
     import jax
     import jax.numpy as jnp
     from fisher_nerf_customized_tpu.ops.camera import Camera
@@ -75,21 +78,24 @@ def bench_rasterizer(n: int = 131072, iters: int = 20):
     camera = Camera(fx=128.0, fy=128.0, cx=128.0, cy=128.0, width=256,
                     height=256)
     st = RenderSettings(tile_size=16, max_per_tile=512, chunk=64)
-    rng = np.random.default_rng(0)
-    means = jnp.asarray(np.stack([rng.uniform(-3, 3, n),
-                                  rng.uniform(0, 2.5, n),
-                                  rng.uniform(0.5, 8, n)], -1), jnp.float32)
-    scales = jnp.asarray(rng.uniform(0.01, 0.06, (n, 3)), jnp.float32)
-    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
-    opac = jnp.asarray(rng.uniform(0.2, 0.95, n), jnp.float32)
-    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
 
-    out = render(camera, means, scales, quats, opac, colors, settings=st)
+    def scene(seed):
+        r = np.random.default_rng(seed)
+        return (jnp.asarray(np.stack([r.uniform(-3, 3, n),
+                                      r.uniform(0, 2.5, n),
+                                      r.uniform(0.5, 8, n)], -1), jnp.float32),
+                jnp.asarray(r.uniform(0.01, 0.06, (n, 3)), jnp.float32),
+                jnp.asarray(r.normal(size=(n, 4)), jnp.float32),
+                jnp.asarray(r.uniform(0.2, 0.95, n), jnp.float32),
+                jnp.asarray(r.uniform(0, 1, (n, 3)), jnp.float32))
+
+    scenes = [scene(i) for i in range(n_scenes)]
+    out = render(camera, *scenes[0], settings=st)
     jax.block_until_ready(out["color"])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = render(camera, means, scales, quats, opac, colors, settings=st)
-    jax.block_until_ready(out["color"])
+    outs = [render(camera, *scenes[i % n_scenes], settings=st)["color"]
+            for i in range(iters)]
+    jax.block_until_ready(outs)
     return iters / (time.perf_counter() - t0)
 
 

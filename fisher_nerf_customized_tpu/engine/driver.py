@@ -23,6 +23,8 @@ import numpy as np
 
 from ..models.slam import GaussianSLAM
 from ..planning import AstarPlanner, LocalizationError, NoFrontierError
+from ..utils.cluster import get_cluster_manager
+from ..utils.logging_utils import MetricsLogger, StepTimer
 from ..utils.pointcloud import GlobalPointCloud
 from .actions import action_planning, rollout_path_poses
 from .eval import (MetricsRecorder, accuracy_comp_ratio_from_pcl,
@@ -55,9 +57,14 @@ class ActiveMapper:
         self.turn_angle = float(cfg.turn_angle)
         self.queue_size = int(cfg.policy.planning_queue_size)
         self.max_steps = int(cfg.num_frames)
+        self.checkpoint_interval = int(cfg.checkpoint_interval)
         self.stuck_count = 0
         self.last_goal = None
         self.step_log: list[dict] = []
+        self.cm = get_cluster_manager()
+        self.timer = StepTimer()
+        self.mlog = MetricsLogger(self.eval_dir, cfg.run_name,
+                                  use_wandb=bool(cfg.use_wandb))
 
     # -- setup --------------------------------------------------------------
     def _init_episode(self):
@@ -169,10 +176,17 @@ class ActiveMapper:
         t = 0
         done_reason = "max_steps"
         while t < self.max_steps:
+            if self.cm.should_exit():
+                # graceful preemption: checkpoint then requeue
+                # (reference tester:804-805 + cluster_manager.py:60-65)
+                self.save_checkpoint(t)
+                self.cm.requeue()
             c2w = obs["c2w"]
-            self.slam.track_rgbd(obs["rgb"], obs["depth"],
-                                 gt_w2c=np.linalg.inv(c2w))
-            self.planner.update_occ_map(obs["depth"], c2w, t)
+            with self.timer.phase("tracking_mapping"):
+                self.slam.track_rgbd(obs["rgb"], obs["depth"],
+                                     gt_w2c=np.linalg.inv(c2w))
+            with self.timer.phase("occupancy"):
+                self.planner.update_occ_map(obs["depth"], c2w, t)
             self.global_pcl.add_frame(np.asarray(obs["depth"]),
                                       self.sim.intrinsics, c2w,
                                       color=np.asarray(obs["rgb"]))
@@ -185,7 +199,8 @@ class ActiveMapper:
             else:
                 try:
                     while not self.queue:
-                        self._replan(c2w, t)
+                        with self.timer.phase("planning"):
+                            self._replan(c2w, t)
                 except NoFrontierError:
                     done_reason = "no_frontier"
                     break
@@ -208,13 +223,17 @@ class ActiveMapper:
                 est = self.global_pcl.get()
                 m = accuracy_comp_ratio_from_pcl(est, recon_gt_points, 0.05)
                 self.metrics.record(t, **m)
+                self.mlog.log(t, **m, n_gaussians=self.slam.n_active)
+            if t > 0 and t % self.checkpoint_interval == 0:
+                self.save_checkpoint(t)
             if on_step is not None:
                 on_step(t, obs)
             t += 1
 
         result = dict(steps=t, done_reason=done_reason,
                       n_gaussians=self.slam.n_active,
-                      n_keyframes=len(self.slam.keyframes))
+                      n_keyframes=len(self.slam.keyframes),
+                      timing=self.timer.summary())
         if eval_every != 0 and self.scene is not None and \
                 hasattr(self.sim, "render_at"):
             nav_eval = eval_navigation(self.slam, self.sim, self.scene,

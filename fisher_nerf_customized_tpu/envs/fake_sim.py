@@ -67,10 +67,8 @@ class BoxScene:
             his.append(np.asarray(hi, np.float32))
             inward.append(False)
         seeds = np.arange(len(los), dtype=np.float32)
-        return _Boxes(lo=jnp.asarray(np.stack(los)),
-                      hi=jnp.asarray(np.stack(his)),
-                      inward=jnp.asarray(np.asarray(inward)),
-                      color_seed=jnp.asarray(seeds))
+        return _Boxes(lo=np.stack(los), hi=np.stack(his),
+                      inward=np.asarray(inward), color_seed=seeds)
 
     # -- navigation ---------------------------------------------------------
     def is_navigable(self, pos: np.ndarray) -> bool:
@@ -195,49 +193,55 @@ class SimObject:
             self.yaw = self.rng.uniform(0, 2 * np.pi)
 
 
-@functools.partial(jax.jit, static_argnames=("camera",))
 def _raycast(boxes: _Boxes, c2w, camera: Camera):
-    """Per-pixel nearest-hit AABB raycast.  Returns (rgb, z_depth)."""
+    """Per-pixel nearest-hit AABB raycast.  Returns (rgb, z_depth, hit_id).
+
+    Pure numpy ON PURPOSE: the simulator stands in for habitat-sim, which
+    runs on the host in the reference (SURVEY.md §3.1 "Habitat sim runs
+    in-process but on CPU/GL") — keeping it off the TPU both matches that
+    data flow and avoids a device round-trip per step."""
     h, w = camera.height, camera.width
-    ys = (jnp.arange(h, dtype=jnp.float32) - camera.cy) / camera.fy
-    xs = (jnp.arange(w, dtype=jnp.float32) - camera.cx) / camera.fx
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    dirs_cam = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)   # (H, W, 3)
-    dirs_w = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs_cam)
+    c2w = np.asarray(c2w, np.float32)
+    lo = np.asarray(boxes.lo)
+    hi = np.asarray(boxes.hi)
+    inward = np.asarray(boxes.inward)
+    seeds = np.asarray(boxes.color_seed)
+
+    ys = (np.arange(h, dtype=np.float32) - camera.cy) / camera.fy
+    xs = (np.arange(w, dtype=np.float32) - camera.cx) / camera.fx
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    dirs_cam = np.stack([gx, gy, np.ones_like(gx)], axis=-1)     # (H, W, 3)
+    dirs_w = np.einsum("ij,hwj->hwi", c2w[:3, :3], dirs_cam)
     origin = c2w[:3, 3]
 
-    inv_d = 1.0 / jnp.where(jnp.abs(dirs_w) < 1e-9,
-                            jnp.sign(dirs_w) * 1e-9 + 1e-12, dirs_w)
-    # slab test against each box: (B, H, W)
-    t0 = (boxes.lo[:, None, None, :] - origin) * inv_d[None]
-    t1 = (boxes.hi[:, None, None, :] - origin) * inv_d[None]
-    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    # obstacle: enter at tmin (if tmin > 0 and tmin <= tmax)
-    # room shell (inward): exit at tmax
-    t_hit = jnp.where(boxes.inward[:, None, None], tmax, tmin)
-    hit_ok = (tmax >= jnp.maximum(tmin, 0.0)) & (t_hit > 1e-4)
-    t_hit = jnp.where(hit_ok, t_hit, jnp.inf)
-    best = jnp.argmin(t_hit, axis=0)                             # (H, W)
-    t_best = jnp.min(t_hit, axis=0)
-    t_best = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
+    safe = np.where(np.abs(dirs_w) < 1e-9, 1e-9, dirs_w)
+    inv_d = 1.0 / safe
+    t0 = (lo[:, None, None, :] - origin) * inv_d[None]
+    t1 = (hi[:, None, None, :] - origin) * inv_d[None]
+    tmin = np.minimum(t0, t1).max(axis=-1)
+    tmax = np.maximum(t0, t1).min(axis=-1)
+    t_hit = np.where(inward[:, None, None], tmax, tmin)
+    hit_ok = (tmax >= np.maximum(tmin, 0.0)) & (t_hit > 1e-4)
+    t_hit = np.where(hit_ok, t_hit, np.inf)
+    best = np.argmin(t_hit, axis=0)                              # (H, W)
+    t_best = t_hit.min(axis=0)
+    t_best = np.where(np.isfinite(t_best), t_best, 0.0).astype(np.float32)
 
-    hit_pt = origin + dirs_w * t_best[..., None]                 # (H, W, 3)
+    hit_pt = origin + dirs_w * t_best[..., None]
     # rays are scaled so dirs_cam.z == 1, hence t IS the camera z-depth
     z_depth = t_best
-    # procedural texture: wall-id base hue + world-position checker
-    seed = boxes.color_seed[best]
-    checker = (jnp.floor(hit_pt[..., 0] / 0.5) + jnp.floor(hit_pt[..., 1] / 0.5)
-               + jnp.floor(hit_pt[..., 2] / 0.5)) % 2.0
-    base_r = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 2.1 + 1.0))
-    base_g = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 3.7 + 2.0))
-    base_b = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 5.3 + 3.0))
+    seed = seeds[best]
+    checker = (np.floor(hit_pt[..., 0] / 0.5) + np.floor(hit_pt[..., 1] / 0.5)
+               + np.floor(hit_pt[..., 2] / 0.5)) % 2.0
+    base_r = 0.25 + 0.5 * np.abs(np.sin(seed * 2.1 + 1.0))
+    base_g = 0.25 + 0.5 * np.abs(np.sin(seed * 3.7 + 2.0))
+    base_b = 0.25 + 0.5 * np.abs(np.sin(seed * 5.3 + 3.0))
     shade = 0.75 + 0.25 * checker
-    stripes = 0.85 + 0.15 * jnp.sin(hit_pt[..., 0] * 7.0) * jnp.sin(
+    stripes = 0.85 + 0.15 * np.sin(hit_pt[..., 0] * 7.0) * np.sin(
         hit_pt[..., 2] * 7.0)
-    rgb = jnp.stack([base_r * shade * stripes, base_g * shade,
-                     base_b * (1.25 - 0.25 * checker)], axis=-1)
-    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = np.stack([base_r * shade * stripes, base_g * shade,
+                    base_b * (1.25 - 0.25 * checker)], axis=-1)
+    rgb = np.clip(rgb, 0.0, 1.0).astype(np.float32)
     return rgb, z_depth, best
 
 
@@ -273,11 +277,11 @@ class FakeSim:
         b = self._boxes
         obj_idx = b.lo.shape[0]
         boxes = _Boxes(
-            lo=jnp.concatenate([b.lo, jnp.asarray([lo], jnp.float32)]),
-            hi=jnp.concatenate([b.hi, jnp.asarray([hi], jnp.float32)]),
-            inward=jnp.concatenate([b.inward, jnp.asarray([False])]),
-            color_seed=jnp.concatenate([b.color_seed,
-                                        jnp.asarray([17.0], jnp.float32)]))
+            lo=np.concatenate([b.lo, np.asarray([lo], np.float32)]),
+            hi=np.concatenate([b.hi, np.asarray([hi], np.float32)]),
+            inward=np.concatenate([b.inward, np.asarray([False])]),
+            color_seed=np.concatenate([b.color_seed,
+                                       np.asarray([17.0], np.float32)]))
         return boxes, obj_idx
 
     def reset(self, start_xz=(0.0, 0.0), yaw: float = 0.0):
@@ -293,12 +297,10 @@ class FakeSim:
 
     def get_observations(self):
         boxes, obj_idx = self._boxes_now()
-        rgb, depth, hit = _raycast(boxes, jnp.asarray(self.c2w), self.camera)
-        obs = dict(rgb=np.asarray(rgb), depth=np.asarray(depth),
-                   c2w=self.c2w.copy())
+        rgb, depth, hit = _raycast(boxes, self.c2w, self.camera)
+        obs = dict(rgb=rgb, depth=depth, c2w=self.c2w.copy())
         if self.dynamic_object is not None:
-            sem = np.where(np.asarray(hit) == obj_idx,
-                           self.dynamic_object.semantic_id, 0)
+            sem = np.where(hit == obj_idx, self.dynamic_object.semantic_id, 0)
             obs["semantic"] = sem.astype(np.int32)
         return obs
 
@@ -319,9 +321,9 @@ class FakeSim:
 
     def render_at(self, c2w):
         boxes, _ = self._boxes_now()
-        rgb, depth, _hit = _raycast(
-            boxes, jnp.asarray(np.asarray(c2w, np.float32)), self.camera)
-        return np.asarray(rgb), np.asarray(depth)
+        rgb, depth, _hit = _raycast(boxes, np.asarray(c2w, np.float32),
+                                    self.camera)
+        return rgb, depth
 
     def is_navigable(self, pos) -> bool:
         return self.scene.is_navigable(pos)

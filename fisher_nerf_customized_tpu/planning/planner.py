@@ -103,11 +103,18 @@ class AstarPlanner:
         if depth.ndim == 3:
             depth = depth.reshape(depth.shape[-2], depth.shape[-1])
         c2w = np.asarray(c2w, np.float32)
-        self.occ_map, cam_pos = occ_update(
+        # cam_pos computed on the host: the device update stays fully async
+        # (no per-step device round-trip; crucial when dispatch latency is
+        # high, e.g. remote-attached TPUs)
+        cx = int(np.floor((c2w[0, 3] - self.map_center[0]) / self.cell_size)
+                 + (self.grid_dim[0] - 1) // 2)
+        cz = int(np.floor((c2w[2, 3] - self.map_center[1]) / self.cell_size)
+                 + (self.grid_dim[1] - 1) // 2)
+        self.cam_pos = np.array([cz, cx])
+        self.occ_map, _ = occ_update(
             self.occ_map, jnp.asarray(depth), jnp.asarray(c2w), self.camera,
             self.cell_size, jnp.asarray(self.map_center), self.height_lower,
             self.height_upper, self.pcd_far_distance)
-        self.cam_pos = np.asarray(cam_pos)
 
     # -- conversions (reference astar.py:1372-1381) -------------------------
     def convert_to_map(self, coord):
