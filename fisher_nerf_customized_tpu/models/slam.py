@@ -696,6 +696,97 @@ class GaussianSLAM:
         self.frame_idx = len(self.poses_w2c) - 1
         self.initialized = True
 
+    # -- legacy in-SLAM planning API (reference gaussian.py:849-1452;
+    # mostly superseded by AstarPlanner but part of the public surface) ----
+    def get_top_down_map(self, cell_size: float | None = None,
+                         grid_dim: int = 256):
+        """Counts-vote 3-channel occupancy map from the Gaussian cloud
+        (reference gaussian.py:849 get_top_down_map)."""
+        cell = cell_size or float(self.cfg.explore.cell_size)
+        pts = self.gaussian_points
+        occ = np.zeros((3, grid_dim, grid_dim), np.float32)
+        occ[0] = 1.0
+        if len(pts) == 0:
+            return occ
+        center = pts[:, [0, 2]].mean(axis=0)
+        gx = np.clip(np.floor((pts[:, 0] - center[0]) / cell)
+                     + grid_dim // 2, 0, grid_dim - 1).astype(np.int64)
+        gz = np.clip(np.floor((pts[:, 2] - center[1]) / cell)
+                     + grid_dim // 2, 0, grid_dim - 1).astype(np.int64)
+        cam_h = float(self.poses_w2c[0][1, 3]) if self.poses_w2c else 1.25
+        occ_band = (pts[:, 1] >= 0.1) & (pts[:, 1] <= 1.3)
+        np.add.at(occ[1], (gz[occ_band], gx[occ_band]), 1.0)
+        np.add.at(occ[2], (gz[~occ_band], gx[~occ_band]), 0.01)
+        return occ
+
+    def delete_gaussians_by_index(self, gaussian_index):
+        """(reference gaussian.py:1377 delete_gaussians_by_index)"""
+        keep = np.ones((self.state.capacity,), bool)
+        keep[np.asarray(gaussian_index, np.int64)] = False
+        self.state, _order = prune_compact(self.state, jnp.asarray(keep))
+
+    def prune_invisible(self, w2cs=None):
+        """Drop Gaussians invisible from every given (or keyframe) pose
+        (reference gaussian.py:1318-1326 invisible-gaussian pruning)."""
+        w2cs = self.keyframes.stacked_w2cs() if w2cs is None else \
+            np.asarray(w2cs, np.float32)
+        if len(w2cs) == 0:
+            return 0
+        seen = np.zeros((self.state.capacity,), bool)
+        ck = self.pose_chunk
+        for i in range(0, len(w2cs), ck):
+            chunk = w2cs[i:i + ck]
+            n_real = len(chunk)
+            if n_real < ck:
+                chunk = np.concatenate([chunk, np.tile(
+                    np.eye(4, dtype=np.float32), (ck - n_real, 1, 1))])
+            out = _fisher_batch(self.state, jnp.asarray(chunk), self.camera,
+                                self.fisher_settings)
+            seen |= np.asarray(out["visible"][:n_real]).any(axis=0)
+        removed = int(self.n_active - seen[: self.n_active].sum())
+        self.state, _ = prune_compact(self.state, jnp.asarray(seen))
+        return removed
+
+    def DFS_acq_score_planning(self, train_poses, is_navigable,
+                               max_depth: int = 6,
+                               forward_step: float = 0.065,
+                               turn_angle: float = 10.0):
+        """3-action DFS lookahead maximizing accumulated EIG (reference
+        gaussian.py:1390-1452).  `is_navigable(pos3)` gates forward moves.
+        Returns the best action list (executed-first order)."""
+        from ..utils.geometry import compute_next_campos
+        h_train = self.compute_H_train()
+        h_train = np.asarray(h_train)
+
+        def dfs(train_h, pose, action_id, depth):
+            if depth > 0:
+                if not is_navigable(pose[:3, 3]):
+                    return -1.0, []
+                cur = np.asarray(self.compute_Hessian(
+                    np.linalg.inv(pose), return_points=True))
+                acq = float((cur / (train_h + 0.1)).sum())
+                train_h = train_h + cur
+            else:
+                acq = 0.0
+            if depth == max_depth:
+                return acq, []
+            scores, actions = [], []
+            for a in (1, 2, 3):
+                if (a == 2 and action_id == 3) or (a == 3 and action_id == 2):
+                    scores.append(-1.0)
+                    actions.append([])
+                    continue
+                nxt = compute_next_campos(pose, a, forward_step, turn_angle)
+                s, acts = dfs(train_h.copy(), nxt, a, depth + 1)
+                scores.append(s)
+                actions.append(acts)
+            best = int(np.argmax(scores))
+            return acq + scores[best], actions[best] + [best + 1]
+
+        start = np.asarray(train_poses[-1], np.float64)
+        _score, action_list = dfs(h_train, start, 1, 0)
+        return action_list[::-1]
+
     # MonoGS-compat no-ops (reference gaussian.py:1600-1614)
     def pause(self):
         pass

@@ -1,0 +1,164 @@
+"""Aux subsystems: cluster manager, logging, dino gate, local policy,
+offline dataset, legacy SLAM planning API, eval CLI helpers."""
+import json
+import os
+import signal
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fisher_nerf_customized_tpu.engine.dino_gate import (
+    DinoBank, PatchDescriptorExtractor, object_center_error)
+from fisher_nerf_customized_tpu.planning.local_policy import (DdppoPolicy,
+                                                              PathFollower)
+from fisher_nerf_customized_tpu.utils.cluster import ClusterStateManager
+from fisher_nerf_customized_tpu.utils.logging_utils import (MetricsLogger,
+                                                            StepTimer)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cluster_manager_signal_flag():
+    cm = ClusterStateManager()
+    assert not cm.should_exit()
+    os.kill(os.getpid(), signal.SIGUSR1)
+    assert cm.should_exit()
+
+
+def test_cluster_manager_time_budget():
+    cm = ClusterStateManager(time_to_run=-1.0)
+    assert cm.should_exit()
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    ml = MetricsLogger(str(tmp_path), "run")
+    ml.log(0, psnr=20.0)
+    ml.log(1, psnr=21.0)
+    ml.close()
+    lines = [json.loads(l) for l in open(ml.path)]
+    assert lines[0]["psnr"] == 20.0 and lines[1]["step"] == 1
+
+
+def test_step_timer():
+    st = StepTimer()
+    with st.phase("a"):
+        pass
+    with st.phase("a"):
+        pass
+    s = st.summary()
+    assert s["a"]["count"] == 2
+
+
+def test_dino_bank_gating():
+    rng = np.random.default_rng(0)
+    ext = PatchDescriptorExtractor(patch_size=8)
+    img1 = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    mask = np.zeros((48, 48), bool)
+    mask[8:40, 8:40] = True
+    d1 = ext(img1, mask)
+    assert d1.shape[0] > 0
+    bank = DinoBank(frac_thresh=0.6)
+    assert bank.add_if_distinct(d1)              # first always added
+    assert not bank.add_if_distinct(d1)          # identical -> rejected
+    img2 = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    d2 = ext(img2, mask)
+    # metrics are well-formed
+    pool, ch, ff, fb = bank.similarity_metrics(d2)
+    assert 0 <= ff <= 1 and 0 <= fb <= 1
+
+
+def test_object_center_error():
+    mask = np.zeros((32, 32), bool)
+    mask[10:20, 24:30] = True        # right side
+    assert object_center_error(mask) > 0.3
+    mask2 = np.zeros((32, 32), bool)
+    mask2[10:20, 2:8] = True         # left side
+    assert object_center_error(mask2) < -0.3
+    assert object_center_error(np.zeros((32, 32), bool)) == 0.0
+
+
+def test_path_follower_reaches_goal():
+    pf = PathFollower(forward_step=0.2, turn_angle=30.0, stop_dist=0.15)
+    c2w = np.eye(4)
+    actions = pf.rollout(c2w, (1.0, 1.0), max_actions=60)
+    assert len(actions) > 0
+    # simulate and verify convergence
+    from fisher_nerf_customized_tpu.utils.geometry import compute_next_campos
+    pose = c2w.copy()
+    for a in actions:
+        pose = compute_next_campos(pose, a, 0.2, 30.0)
+    assert np.hypot(pose[0, 3] - 1.0, pose[2, 3] - 1.0) < 0.3
+
+
+def test_ddppo_fallback():
+    pol = DdppoPolicy(ckpt_path=None)
+    assert not pol.learned
+    a = pol.plan(None, (0.5, 0.0), c2w=np.eye(4))
+    assert a in (0, 1, 2, 3)
+
+
+def test_offline_dataset_generation():
+    from fisher_nerf_customized_tpu.envs.offline_dataset import (
+        generate_offline_dataset)
+    from fisher_nerf_customized_tpu.ops.camera import Camera
+    cam = Camera(fx=24.0, fy=24.0, cx=24.0, cy=24.0, width=48, height=48)
+    inputs, labels = generate_offline_dataset(cam, n_scenes=1,
+                                              steps_per_scene=3,
+                                              grid_dim=32)
+    assert inputs.shape == (3, 32, 32, 3)
+    assert labels.shape == (3, 32, 32)
+    assert set(np.unique(labels)).issubset({0, 1, 2})
+
+
+def test_slam_legacy_planning_api(tmp_path):
+    from tests.test_slam import make_sim, small_cfg
+    from fisher_nerf_customized_tpu.models.slam import GaussianSLAM
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    obs = sim.reset()
+    slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
+    occ = slam.get_top_down_map()
+    assert occ.shape[0] == 3 and occ[1].sum() > 0
+    n0 = slam.n_active
+    slam.delete_gaussians_by_index(np.arange(10))
+    assert slam.n_active == n0 - 10
+    removed = slam.prune_invisible([np.linalg.inv(obs["c2w"])])
+    assert removed >= 0
+    actions = slam.DFS_acq_score_planning(
+        [obs["c2w"]], is_navigable=lambda p: sim.is_navigable((p[0], 0, p[2])),
+        max_depth=2)
+    assert len(actions) == 2
+    assert all(a in (1, 2, 3) for a in actions)
+
+
+def test_eval_cli_scripts(tmp_path):
+    """scripts/evaluation.py + eval_3d_reconstruction.py run end-to-end."""
+    from fisher_nerf_customized_tpu.utils.pointcloud import write_ply
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (2000, 3)).astype(np.float32)
+    run_dir = tmp_path / "run"
+    (run_dir / "pointcloud").mkdir(parents=True)
+    write_ply(str(run_dir / "pointcloud" / "global_pcl_100.ply"), pts)
+    gt_path = str(tmp_path / "gt.ply")
+    write_ply(gt_path, pts)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluation.py"),
+         str(run_dir), "--gt_ply", gt_path],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert out.returncode == 0, out.stderr
+    res = json.loads(out.stdout[out.stdout.index("{"):])
+    assert res["coverage_pct"] == 100.0
+
+    out2 = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "eval_3d_reconstruction.py"),
+         str(run_dir / "pointcloud" / "global_pcl_100.ply"), gt_path],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert out2.returncode == 0, out2.stderr
+    res2 = json.loads(out2.stdout[out2.stdout.index("{"):])
+    assert res2["completeness_ratio"] == 100.0
