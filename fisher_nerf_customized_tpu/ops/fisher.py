@@ -46,14 +46,23 @@ from .projection import preprocess
 from .rasterize import RenderSettings
 
 
-def _chunk_gather(prep, bins, opacities, colors, means_cam, idx):
-    mu = prep.mean2d[idx]
-    con = prep.conic[idx]
-    opa = opacities[idx]
-    col = colors[idx]
-    dep = prep.depth[idx]
-    mc = means_cam[idx]
-    return mu, con, opa, col, dep, mc
+def _pack_params(prep, bins, opacities, colors, means_cam):
+    """One big gather into (T, K, 9+C): random-index gathers inside scan
+    bodies are pathologically slow on TPU (see rasterize._blend_tiles)."""
+    idx = bins.table
+    return jnp.concatenate([
+        prep.mean2d[idx],                 # 0:2
+        prep.conic[idx],                  # 2:5
+        opacities[idx][..., None],        # 5
+        prep.depth[idx][..., None],       # 6  (unused in bwd, kept packed)
+        means_cam[idx],                   # 7:10
+        colors[idx],                      # 10:
+    ], axis=-1)
+
+
+def _unpack(blk):
+    return (blk[..., 0:2], blk[..., 2:5], blk[..., 5], blk[..., 10:],
+            blk[..., 6], blk[..., 7:10])
 
 
 def _pair_alpha(mu, con, opa, sval, pix_x, pix_y):
@@ -101,14 +110,16 @@ def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
     pix_y = ((tile_ids // ntx) * ts)[:, None].astype(jnp.float32) + ly[None, :]
 
     k0s = jnp.arange(n_chunks, dtype=jnp.int32) * st.chunk
+    packed = _pack_params(prep, bins, opacities, colors, means_cam)
+    nf = packed.shape[-1]
 
     # ---- pass 1: record per-chunk starting transmittance ------------------
     @jax.checkpoint
     def fwd_step(t_carry, k0):
-        idx = jax.lax.dynamic_slice(bins.table, (0, k0), (n_tiles, st.chunk))
+        blk = jax.lax.dynamic_slice(packed, (0, k0, 0),
+                                    (n_tiles, st.chunk, nf))
         sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
-        mu, con, opa, _col, _dep, _mc = _chunk_gather(prep, bins, opacities,
-                                                      colors, means_cam, idx)
+        mu, con, opa, _col, _dep, _mc = _unpack(blk)
         alpha, _g, _dx, _dy = _pair_alpha(mu, con, opa, sval, pix_x, pix_y)
         cum_last = jnp.prod(1.0 - alpha, axis=1)
         return t_carry * cum_last, t_carry
@@ -126,10 +137,11 @@ def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
     def bwd_step(carry, inp):
         s_behind_carry, h_acc = carry
         k0, t_start = inp
+        blk = jax.lax.dynamic_slice(packed, (0, k0, 0),
+                                    (n_tiles, st.chunk, nf))
         idx = jax.lax.dynamic_slice(bins.table, (0, k0), (n_tiles, st.chunk))
         sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
-        mu, con, opa, col, _dep, mc = _chunk_gather(prep, bins, opacities,
-                                                    colors, means_cam, idx)
+        mu, con, opa, col, _dep, mc = _unpack(blk)
         alpha, g, dx, dy = _pair_alpha(mu, con, opa, sval, pix_x, pix_y)
 
         one_minus = 1.0 - alpha

@@ -42,7 +42,13 @@ class RenderSettings(NamedTuple):
 
 def _blend_tiles(camera: Camera, st: RenderSettings, prep, bins,
                  opacities, colors):
-    """Front-to-back blend of all tiles.  Returns per-tile-pixel buffers."""
+    """Front-to-back blend of all tiles.  Returns per-tile-pixel buffers.
+
+    The per-slot Gaussian parameters are gathered ONCE into a packed
+    (T, K, F) array before the depth-chunk scan — random-index gathers
+    inside the scan body are catastrophically slow on TPU (they lower to
+    per-chunk dynamic-slice loops); a single large gather vectorizes over
+    the contiguous feature axis."""
     ts = st.tile_size
     ntx, nty = bins.n_tiles_x, bins.n_tiles_y
     n_tiles = ntx * nty
@@ -50,6 +56,16 @@ def _blend_tiles(camera: Camera, st: RenderSettings, prep, bins,
     n_chunks = st.max_per_tile // st.chunk
     assert n_chunks * st.chunk == st.max_per_tile, "chunk must divide max_per_tile"
     cch = colors.shape[-1]
+
+    # one gather: packed per-slot params (T, K, 7+C)
+    idx_all = bins.table
+    packed = jnp.concatenate([
+        prep.mean2d[idx_all],                        # 0:2
+        prep.conic[idx_all],                         # 2:5
+        opacities[idx_all][..., None],               # 5
+        prep.depth[idx_all][..., None],              # 6
+        colors[idx_all],                             # 7:
+    ], axis=-1)
 
     # pixel centers per tile, as float pixel indices (T, P, 2)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -63,14 +79,15 @@ def _blend_tiles(camera: Camera, st: RenderSettings, prep, bins,
     @jax.checkpoint
     def chunk_step(carry, k0):
         t_carry, c_acc, med, has_med = carry
-        idx = jax.lax.dynamic_slice(bins.table, (0, k0), (n_tiles, st.chunk))
+        blk = jax.lax.dynamic_slice(
+            packed, (0, k0, 0), (n_tiles, st.chunk, packed.shape[-1]))
         sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
 
-        mu = prep.mean2d[idx]          # (T, CH, 2)
-        con = prep.conic[idx]          # (T, CH, 3)
-        opa = opacities[idx]           # (T, CH)
-        col = colors[idx]              # (T, CH, C)
-        dep = prep.depth[idx]          # (T, CH)
+        mu = blk[..., 0:2]             # (T, CH, 2)
+        con = blk[..., 2:5]            # (T, CH, 3)
+        opa = blk[..., 5]              # (T, CH)
+        dep = blk[..., 6]              # (T, CH)
+        col = blk[..., 7:]             # (T, CH, C)
 
         dx = mu[:, :, 0:1] - pix_x[:, None, :]     # (T, CH, P)
         dy = mu[:, :, 1:2] - pix_y[:, None, :]

@@ -127,6 +127,35 @@ def test_non_multiple_image_size_padding():
                                np.asarray(ref["color"]), atol=2e-4)
 
 
+def test_hierarchical_binning_matches_naive():
+    """128² with 16px tiles -> 8x8 tile grid activates the two-level
+    (coarse supertile) binning path; must match the naive oracle."""
+    cam = Camera(fx=128.0, fy=128.0, cx=64.0, cy=64.0, width=128, height=128)
+    means, scales, quats, opac, colors = make_scene(n=400, seed=7)
+    st = RenderSettings(tile_size=16, max_per_tile=256, chunk=32)
+    out = render(cam, means, scales, quats, opac, colors, settings=st)
+    ref = render_naive(cam, means, scales, quats, opac, colors)
+    assert int(out["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out["color"]),
+                               np.asarray(ref["color"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), atol=1e-3)
+
+
+def test_hierarchical_binning_dense_scene():
+    """Dense cluster: coarse capacity must not silently drop visible
+    splats (overflow must be reported if it does)."""
+    cam = Camera(fx=128.0, fy=128.0, cx=64.0, cy=64.0, width=128, height=128)
+    means, scales, quats, opac, colors = make_scene(n=2000, seed=8,
+                                                    spread=0.6)
+    st = RenderSettings(tile_size=16, max_per_tile=512, chunk=64)
+    out = render(cam, means, scales, quats, opac, colors, settings=st)
+    ref = render_naive(cam, means, scales, quats, opac, colors)
+    if int(out["overflow"]) == 0:
+        np.testing.assert_allclose(np.asarray(out["color"]),
+                                   np.asarray(ref["color"]), atol=3e-4)
+
+
 def test_overflow_reported_when_capacity_too_small():
     means, scales, quats, opac, colors = make_scene(n=500, spread=0.3)
     small = RenderSettings(tile_size=16, max_per_tile=64, chunk=32)
