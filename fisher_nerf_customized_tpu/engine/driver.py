@@ -37,13 +37,24 @@ logger = logging.getLogger("fnc_tpu.driver")
 class ActiveMapper:
     def __init__(self, cfg, sim, scene=None, policy_name: str | None = None,
                  eval_dir: str | None = None, seed: int = 0,
-                 traj_actions=None):
+                 traj_actions=None, object_scene: bool = False,
+                 dynamic_scene: bool = False, known_env_points=None):
         self.cfg = cfg
         self.sim = sim
         self.scene = scene                    # BoxScene (GT access) or None
         self.policy_name = policy_name or str(cfg.policy.name)
         self.eval_dir = eval_dir or os.path.join(cfg.workdir, cfg.run_name)
         os.makedirs(self.eval_dir, exist_ok=True)
+        # object branch (reference tester:331-399 dynamic-object spawn,
+        # :831-845 mask-triggered object tracking, §3.5/§3.6)
+        self.object_scene = bool(object_scene)
+        self.dynamic_scene = bool(dynamic_scene)
+        self.known_env_points = known_env_points   # GT cloud -> novelty mask
+        self.obj_slam = None
+        self.object_tracking = False
+        self.criterion = str(cfg.criterion)
+        self.object_metrics = MetricsRecorder(f"{cfg.criterion}_OA",
+                                              "fake_scene")
 
         self.slam = GaussianSLAM(cfg, eval_dir=self.eval_dir)
         self.planner = AstarPlanner(cfg, eval_dir=self.eval_dir, seed=seed)
@@ -80,6 +91,56 @@ class ActiveMapper:
         for _ in range(max(int(90.0 // self.turn_angle), 1)):
             self.queue.append(2)
         return obs
+
+    # -- object branch --------------------------------------------------------
+    def _object_mask(self, obs):
+        """Semantic object mask, or known-env novelty mask (reference
+        tester:690-725, §3.6)."""
+        if not self.object_scene:
+            return None
+        if self.known_env_points is not None:
+            import jax.numpy as jnp
+            from ..ops.knn import novelty_mask_from_pcd_nn
+            inv_k = np.linalg.inv(self.sim.intrinsics).astype(np.float32)
+            mask, _n = novelty_mask_from_pcd_nn(
+                jnp.asarray(self.known_env_points),
+                jnp.asarray(obs["depth"]), jnp.asarray(inv_k),
+                jnp.asarray(obs["c2w"]))
+            return np.asarray(mask)
+        if "semantic" in obs:
+            return np.asarray(obs["semantic"]) > 0
+        return None
+
+    def _object_step(self, obs, mask, t):
+        from ..models.object_slam import GaussianObjectSLAM
+        from .object_planning import init_object_policy
+        w2c = np.linalg.inv(obs["c2w"])
+        if self.obj_slam is None:
+            self.obj_slam = GaussianObjectSLAM(self.cfg,
+                                               eval_dir=self.eval_dir,
+                                               start_frame_idx=t)
+            self.obj_slam.init(obs["rgb"], obs["depth"], w2c, mask)
+            # mask-centering init actions (reference init_object_policy)
+            centering = init_object_policy(mask, self.turn_angle,
+                                           mask.shape[1])
+            self.queue.clear()
+            self.queue.extend(centering)
+            self.object_tracking = True
+            return
+        self.obj_slam.track_rgbd(obs["rgb"], obs["depth"], gt_w2c=w2c,
+                                 obj_mask_2d=mask, step=t)
+        self.object_tracking = True
+
+    def record_object_metrics(self, t, gt_object_points,
+                              dist_thresh: float = 0.01):
+        """Per-step object reconstruction curve + AUC (reference
+        tester:1212-1289 evaluate_3d_object_reconstruction)."""
+        if self.obj_slam is None or self.obj_slam.n_active == 0:
+            return None
+        m = accuracy_comp_ratio_from_pcl(self.obj_slam.gaussian_points,
+                                         gt_object_points, dist_thresh)
+        self.object_metrics.record(t, **m)
+        return m
 
     # -- planning -----------------------------------------------------------
     def plan_best_path(self, current_agent_pose: np.ndarray, expansion: int,
@@ -156,6 +217,17 @@ class ActiveMapper:
             if self.policy_name == "random_walk":
                 self.queue.extend(self._random_walk_actions())
                 return
+            if self.object_tracking and self.obj_slam is not None:
+                # object-observing path takes over while an object is
+                # tracked (reference tester:1098-1132)
+                from .object_planning import plan_best_object_path
+                actions, _p = plan_best_object_path(
+                    self.obj_slam, self.slam, self.planner, c2w, expansion,
+                    t, self.cfg, self.forward_step, self.turn_angle,
+                    self.queue_size, criterion=self.criterion)
+                if actions:
+                    self.queue.extend(actions)
+                    return
             actions, _path = self.plan_best_path(c2w, expansion, t)
             if actions:
                 self.queue.extend(actions)
@@ -182,9 +254,18 @@ class ActiveMapper:
                 self.save_checkpoint(t)
                 self.cm.requeue()
             c2w = obs["c2w"]
+            # dynamic object kinematics (reference tester:657-671)
+            if self.dynamic_scene and getattr(self.sim, "dynamic_object",
+                                              None) is not None:
+                self.sim.dynamic_object.moving_randomly()
+                obs = self.sim.get_observations()
+            obj_mask = self._object_mask(obs)
             with self.timer.phase("tracking_mapping"):
                 self.slam.track_rgbd(obs["rgb"], obs["depth"],
                                      gt_w2c=np.linalg.inv(c2w))
+            if obj_mask is not None and obj_mask.sum() > 20:
+                with self.timer.phase("object_tracking"):
+                    self._object_step(obs, obj_mask, t)
             with self.timer.phase("occupancy"):
                 self.planner.update_occ_map(obs["depth"], c2w, t)
             self.global_pcl.add_frame(np.asarray(obs["depth"]),

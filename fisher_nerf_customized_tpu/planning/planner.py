@@ -357,6 +357,54 @@ class AstarPlanner:
         return (jnp.asarray(poses), jnp.asarray(scores),
                 random_gaussian_params)
 
+    def global_object_planning(self, pose_evaluation_fn=None,
+                               gaussian_points=None, gaussian_points_scene=None,
+                               expansion=1, visualize=False, agent_pose=None,
+                               criterion: str | None = None):
+        """Candidate poses on rings around the OBJECT's Gaussians, scored
+        by the object SLAM's pose_eval / P-opt criteria (reference
+        astar.py:1151 global_object_planning + generate_candidate_object).
+        gaussian_points: object Gaussians; gaussian_points_scene: scene
+        Gaussians (for free-space blocking)."""
+        if gaussian_points is None or len(np.asarray(gaussian_points)) == 0:
+            return None, None, None
+        obj_pts = np.asarray(gaussian_points)
+        free_space = self.build_connected_freespace(gaussian_points_scene)
+
+        center = obj_pts[:, [0, 2]].mean(axis=0, keepdims=True)
+        exp = float(expansion)
+        candidate_pose = np.zeros((0, 4, 4), np.float32)
+        while len(candidate_pose) == 0 and exp < 100:
+            candidate_pose = generate_candidates(
+                center, self.K_object, self.radius_object,
+                self.min_range_object, self.cam_height, self.rng,
+                expansion=exp)
+            exp *= 1.5
+            eroded = cv2.erode(free_space.astype(np.uint8),
+                               np.ones((10, 10), np.uint8))
+            if eroded.sum() > 40:
+                xy = candidate_pose[:, [0, 2], 3]
+                gx = np.clip(((xy[:, 0] - self.map_center[0]) / self.cell_size
+                              + self.grid_dim[0] // 2).astype(np.int64),
+                             0, self.grid_dim[0] - 1)
+                gz = np.clip(((xy[:, 1] - self.map_center[1]) / self.cell_size
+                              + self.grid_dim[1] // 2).astype(np.int64),
+                             0, self.grid_dim[1] - 1)
+                candidate_pose = candidate_pose[eroded[gz, gx] > 0]
+        if len(candidate_pose) == 0:
+            return None, None, None
+
+        if pose_evaluation_fn is None:
+            scores, poses = self.pose_eval(candidate_pose)
+        elif criterion in ("topt", "dopt"):
+            scores, poses = pose_evaluation_fn(candidate_pose,
+                                               criterion=criterion)
+        else:
+            scores, poses = pose_evaluation_fn(candidate_pose)
+        scores, poses = np.asarray(scores), np.asarray(poses)
+        order = np.argsort(-scores, kind="stable")[:20]
+        return jnp.asarray(poses[order]), jnp.asarray(scores[order]), None
+
     def global_planning_frontier(self, expansion=1, visualize=False,
                                  agent_pose=None):
         """Frontier-only (FBE) global goal: no Hessian scoring (reference

@@ -1,0 +1,94 @@
+"""Object-aware active-mapping episode end-to-end (reference §3.5 object
+branch + §3.6 known-env novelty mode)."""
+import numpy as np
+
+from fisher_nerf_customized_tpu.engine import ActiveMapper
+from fisher_nerf_customized_tpu.envs.fake_sim import (BoxScene, FakeSim,
+                                                      SimObject)
+from fisher_nerf_customized_tpu.ops.camera import Camera
+from tests.test_engine import episode_cfg
+
+IMG = 48
+
+
+def make_obj_sim(seed=0, dynamic=False):
+    cam = Camera(fx=float(IMG), fy=float(IMG), cx=IMG / 2, cy=IMG / 2,
+                 width=IMG, height=IMG)
+    scene = BoxScene(room_lo=(-3, 0, -3), room_hi=(3, 2.5, 3), obstacles=[])
+    obj = SimObject(scene, semantic_id=100, size=(0.5, 1.2, 0.5),
+                    start_xz=(0.0, 1.8), speed=0.03, seed=seed)
+    sim = FakeSim(scene, cam, forward_step=0.15, turn_angle=30.0,
+                  dynamic_object=obj, seed=seed)
+    return sim, scene, obj
+
+
+def gt_object_points(obj, n=2000):
+    lo, hi = obj.aabb()
+    box = BoxScene(room_lo=(-9e9,) * 3, room_hi=(9e9,) * 3,
+                   obstacles=[(lo, hi)])
+    pts = box.sample_surface_points(n * 8)
+    # keep only obstacle-face points (drop the giant shell faces)
+    inside = ((pts[:, 0] >= lo[0] - 1e-3) & (pts[:, 0] <= hi[0] + 1e-3)
+              & (pts[:, 2] >= lo[2] - 1e-3) & (pts[:, 2] <= hi[2] + 1e-3)
+              & (pts[:, 1] <= hi[1] + 1e-3) & (pts[:, 1] >= lo[1] - 1e-3))
+    return pts[inside][:n]
+
+
+def test_object_episode_fisher(tmp_path):
+    sim, scene, obj = make_obj_sim()
+    cfg = episode_cfg(tmp_path, steps=16)
+    cfg.map_obj_every = 2
+    cfg.keyframe_obj_every = 2
+    cfg.criterion = "fisher"
+    cfg.explore_object.sample_view_num = 8
+    mapper = ActiveMapper(cfg, sim, scene=scene, seed=0, object_scene=True,
+                          dynamic_scene=False)
+    result = mapper.test_navigation(eval_every=0)
+    assert result["steps"] >= 10
+    assert mapper.obj_slam is not None
+    assert mapper.obj_slam.n_active > 0
+    # object gaussians near the object
+    pts = mapper.obj_slam.gaussian_points
+    d = np.linalg.norm(pts[:, [0, 2]] - obj.translation[[0, 2]], axis=1)
+    assert np.median(d) < 1.2
+    # object metrics recordable
+    m = mapper.record_object_metrics(result["steps"], gt_object_points(obj))
+    assert m is not None and np.isfinite(m["completeness_ratio"])
+    assert mapper.object_metrics.auc() >= 0
+    mapper.object_metrics.dump(str(tmp_path / "object_recon_metrics.yaml"))
+
+
+def test_object_episode_topt(tmp_path):
+    sim, scene, obj = make_obj_sim(seed=1)
+    cfg = episode_cfg(tmp_path, steps=12)
+    cfg.map_obj_every = 2
+    cfg.keyframe_obj_every = 2
+    cfg.criterion = "topt"
+    cfg.explore_object.sample_view_num = 6
+    cfg.tpu.hutchinson_probes = 2
+    mapper = ActiveMapper(cfg, sim, scene=scene, seed=0, object_scene=True,
+                          dynamic_scene=True)
+    result = mapper.test_navigation(eval_every=0)
+    assert result["steps"] >= 8
+    assert mapper.obj_slam is not None
+
+
+def test_known_env_novelty_episode(tmp_path):
+    """Known-env mode: object discovered via GT-cloud novelty mask, no
+    semantics (reference §3.6)."""
+    sim, scene, obj = make_obj_sim(seed=2)
+    # GT cloud of the EMPTY scene (the object is the novelty)
+    empty = BoxScene(room_lo=scene.room_lo, room_hi=scene.room_hi,
+                     obstacles=[])
+    gt_cloud = empty.sample_surface_points(40000)
+    cfg = episode_cfg(tmp_path, steps=10)
+    cfg.map_obj_every = 2
+    cfg.explore_object.sample_view_num = 6
+    mapper = ActiveMapper(cfg, sim, scene=scene, seed=0, object_scene=True,
+                          known_env_points=gt_cloud)
+    obs = sim.reset(yaw=0.0)        # facing the object
+    mask = mapper._object_mask(obs)
+    assert mask is not None and mask.sum() > 20
+    result = mapper.test_navigation(eval_every=0)
+    assert result["steps"] >= 6
+    assert mapper.obj_slam is not None
