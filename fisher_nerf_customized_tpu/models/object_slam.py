@@ -192,7 +192,14 @@ class GaussianObjectSLAM(GaussianSLAM):
         win_w = [self.keyframes.w2cs[i] for i in selected] + [w2c]
         win_m = [self.keyframe_masks[i] for i in selected] + [mask]
         b = len(win_c)
-        choices = self.rng.integers(0, b, size=self.mc.num_iters)
+        # fixed-size window batch (one compile per episode; see slam.py)
+        b_max = int(self.cfg.mapping_window_size)
+        while len(win_c) < b_max:
+            win_c.append(win_c[-1]); win_d.append(win_d[-1])
+            win_w.append(win_w[-1]); win_m.append(win_m[-1])
+        win_c, win_d = win_c[:b_max], win_d[:b_max]
+        win_w, win_m = win_w[:b_max], win_m[:b_max]
+        choices = self.rng.integers(0, min(b, b_max), size=self.mc.num_iters)
         self.state, losses = _object_mapping_phase(
             self.state, jnp.asarray(np.stack(win_c)),
             jnp.asarray(np.stack(win_d)), jnp.asarray(np.stack(win_w)),

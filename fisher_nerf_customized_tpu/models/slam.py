@@ -573,7 +573,17 @@ class GaussianSLAM:
         win_w2cs = [self.keyframes.w2cs[i] for i in selected] + [w2c]
 
         b = len(win_colors)
-        choices = self.rng.integers(0, b, size=self.mc.num_iters)
+        # pad the window batch to a FIXED size so _mapping_phase compiles
+        # once per episode (a growing batch would recompile every event)
+        b_max = int(cfgc.mapping_window_size)
+        while len(win_colors) < b_max:
+            win_colors.append(win_colors[-1])
+            win_depths.append(win_depths[-1])
+            win_w2cs.append(win_w2cs[-1])
+        win_colors = win_colors[:b_max]
+        win_depths = win_depths[:b_max]
+        win_w2cs = win_w2cs[:b_max]
+        choices = self.rng.integers(0, min(b, b_max), size=self.mc.num_iters)
         state, losses = _mapping_phase(
             self.state,
             jnp.asarray(np.stack(win_colors)),
