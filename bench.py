@@ -36,7 +36,7 @@ def build():
     cfg = get_cfg_defaults()
     cfg.workdir = "/tmp/fnc_bench"
     cfg.run_name = "bench"
-    cfg.num_frames = 72
+    cfg.num_frames = 120
     cfg.map_every = 10
     cfg.keyframe_every = 4
     cfg.downsample_pcd = 4
@@ -103,9 +103,10 @@ def main():
     mapper, scene = build()
 
     # warmup segment (compiles every kernel: mapping, densify, fisher,
-    # occupancy, path eval)
+    # occupancy, path eval — the first planning event at ~step 40 carries
+    # the pose-eval/path-eval compiles)
     t_start = time.perf_counter()
-    warmup_steps = 12
+    warmup_steps = 48
     result_steps = 0
 
     times = []

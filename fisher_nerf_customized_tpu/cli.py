@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shrink init scans / iteration counts")
     p.add_argument("--eval_poses", type=int, default=200)
     p.add_argument("--save_data", action="store_true")
+    # object branch flags (reference main.py:32-47 object_scene /
+    # dynamic_scene / known_env)
+    p.add_argument("--object_scene", action="store_true")
+    p.add_argument("--dynamic_scene", action="store_true")
+    p.add_argument("--known_env", action="store_true",
+                   help="discover objects via GT-cloud novelty masks")
     return p
 
 
@@ -76,11 +82,16 @@ def make_sim(args, cfg, scene_id: str):
     if args.sim == "habitat":
         from .envs.habitat_adapter import HabitatSim
         return HabitatSim(args, cfg, scene_id), None
-    from .envs.fake_sim import BoxScene, FakeSim
+    from .envs.fake_sim import BoxScene, FakeSim, SimObject
     seed = abs(hash(scene_id)) % (2 ** 31)
     scene = BoxScene.default(seed=seed)
+    obj = None
+    if getattr(args, "object_scene", False):
+        obj = SimObject(scene, semantic_id=100, size=(0.4, 1.2, 0.4),
+                        start_xz=(0.0, 1.8), seed=seed)
     sim = FakeSim(scene, cam, forward_step=float(cfg.forward_step_size),
-                  turn_angle=float(cfg.turn_angle), seed=args.seed)
+                  turn_angle=float(cfg.turn_angle), seed=args.seed,
+                  dynamic_object=obj)
     return sim, scene
 
 
@@ -93,8 +104,17 @@ def main(argv=None):
     for scene_id in args.scenes_list:
         sim, scene = make_sim(args, cfg, scene_id)
         eval_dir = os.path.join(cfg.workdir, cfg.run_name, scene_id)
+        known_env_points = None
+        if args.known_env and scene is not None:
+            from .envs.fake_sim import BoxScene
+            empty = BoxScene(room_lo=scene.room_lo, room_hi=scene.room_hi,
+                             obstacles=scene.obstacles)
+            known_env_points = empty.sample_surface_points(400000)
         mapper = ActiveMapper(cfg, sim, scene=scene, eval_dir=eval_dir,
-                              seed=args.seed)
+                              seed=args.seed,
+                              object_scene=args.object_scene,
+                              dynamic_scene=args.dynamic_scene,
+                              known_env_points=known_env_points)
         if args.resume and args.checkpoint:
             mapper.resume(args.checkpoint)
         gt = scene.sample_surface_points(100000) if scene is not None else None

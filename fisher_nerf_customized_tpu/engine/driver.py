@@ -76,6 +76,15 @@ class ActiveMapper:
         self.timer = StepTimer()
         self.mlog = MetricsLogger(self.eval_dir, cfg.run_name,
                                   use_wandb=bool(cfg.use_wandb))
+        # UPEN baseline policy (reference models/UPEN.py; policy dispatch
+        # at tester:290-306)
+        self.upen = None
+        if self.policy_name.lower().startswith("upen"):
+            from ..models.upen import UPEN
+            self.upen = UPEN(options=None, cfg=cfg, seed=seed,
+                             cell_size=float(cfg.explore.cell_size) * 2,
+                             use_rrt=bool(cfg.policy.with_rrt_planning)
+                             or "rrt" in self.policy_name.lower())
 
     # -- setup --------------------------------------------------------------
     def _init_episode(self):
@@ -211,11 +220,50 @@ class ActiveMapper:
         self.last_goal = goals[best]
         return path_actions[best], paths_arr[best]
 
+    @staticmethod
+    def _pose_xzyaw(c2w):
+        fwd = c2w[:3, :3] @ np.array([0.0, 0.0, 1.0])
+        return (float(c2w[0, 3]), float(c2w[2, 3]),
+                float(np.arctan2(fwd[0], fwd[2])))
+
+    def _replan_upen(self, c2w, t) -> bool:
+        goal_cell, _info = self.upen.predict_action(self._pose_xzyaw(c2w))
+        if goal_cell is None:
+            return False
+        # UPEN geo-grid cell -> world xz -> A* actions
+        gh, gw = self.upen.sgrid.grid_dim
+        origin = self.upen.sgrid.origin_pose
+        wx = (float(goal_cell[0]) - gw / 2) * self.upen.cell_size + origin[0]
+        wz = (float(goal_cell[1]) - gh / 2) * self.upen.cell_size + origin[1]
+        start = self.planner.convert_to_map(c2w[[0, 2], 3])[[1, 0]]
+        try:
+            self.planner.setup_start(start, self.slam.gaussian_points, t)
+        except LocalizationError:
+            return False
+        finish = self.planner.convert_to_map((wx, wz))[[1, 0]]
+        paths = self.planner.planning(finish)
+        if len(paths) == 0:
+            return False
+        from .actions import compile_actions
+        actions = compile_actions(paths, c2w, c2w, self.planner.cam_height,
+                                  self.planner.convert_to_world,
+                                  self.forward_step, self.turn_angle,
+                                  self.queue_size)
+        if not actions:
+            return False
+        self.queue.extend(actions)
+        return True
+
     def _replan(self, c2w: np.ndarray, t: int):
         expansion = 1
         for _attempt in range(10):
             if self.policy_name == "random_walk":
                 self.queue.extend(self._random_walk_actions())
+                return
+            if self.upen is not None:
+                if self._replan_upen(c2w, t):
+                    return
+                self.queue.extend(self._random_walk_actions()[:5])
                 return
             if self.object_tracking and self.obj_slam is not None:
                 # object-observing path takes over while an object is
@@ -268,6 +316,12 @@ class ActiveMapper:
                     self._object_step(obs, obj_mask, t)
             with self.timer.phase("occupancy"):
                 self.planner.update_occ_map(obs["depth"], c2w, t)
+            if self.upen is not None:
+                pose = self._pose_xzyaw(c2w)
+                if t == 0:
+                    self.upen.init(pose)
+                self.upen.observe(obs["depth"], self.sim.intrinsics, pose,
+                                  cam_height=float(c2w[1, 3]))
             self.global_pcl.add_frame(np.asarray(obs["depth"]),
                                       self.sim.intrinsics, c2w,
                                       color=np.asarray(obs["rgb"]))

@@ -157,3 +157,11 @@ def test_global_pointcloud_subsampling():
     g.add_frame(depth, K, np.eye(4))
     n = len(g.get())
     assert 300 < n < 700      # ~50% of 1024
+
+
+def test_upen_policy_episode(tmp_path):
+    sim, scene = make_sim(seed=7)
+    cfg = episode_cfg(tmp_path, policy="UPEN_rrt", steps=12)
+    mapper = ActiveMapper(cfg, sim, scene=scene, seed=0)
+    result = mapper.test_navigation(eval_every=0)
+    assert result["steps"] >= 8
