@@ -29,7 +29,7 @@ from ..utils.pointcloud import GlobalPointCloud
 from .actions import action_planning, rollout_path_poses
 from .eval import (MetricsRecorder, accuracy_comp_ratio_from_pcl,
                    eval_navigation)
-from .path_eval import path_eig_scores
+from .path_eval import acc_step_indices, path_eig_scores
 
 logger = logging.getLogger("fnc_tpu.driver")
 
@@ -188,18 +188,26 @@ class ActiveMapper:
             h_train = slam.compute_H_train()
             a_max = self.queue_size
             n_paths = len(path_actions)
+            # only the acc-step Hessians affect scores (exact skip of the
+            # reference's wasted per-action Hessians; see path_eval)
+            acc_idx = acc_step_indices(a_max,
+                                       int(self.cfg.acc_H_train_every))
             # pad the path axis to a fixed 20 so path_eig_scores compiles
             # once per episode (padding rows get -inf final EIG)
             p_max = 20
             w2cs = np.tile(np.eye(4, dtype=np.float32),
-                           (p_max, a_max, 1, 1))
-            valid = np.zeros((p_max, a_max), bool)
+                           (p_max, len(acc_idx), 1, 1))
+            valid = np.zeros((p_max, len(acc_idx)), bool)
+            lengths = np.ones((p_max,), np.int32)
             for i, acts in enumerate(path_actions):
                 poses = rollout_path_poses(current_agent_pose, acts,
                                            planner.cam_height,
                                            self.forward_step, self.turn_angle)
-                w2cs[i, :len(acts)] = np.linalg.inv(poses)
-                valid[i, :len(acts)] = True
+                for j, s in enumerate(acc_idx):
+                    if s < len(acts):
+                        w2cs[i, j] = np.linalg.inv(poses[s])
+                        valid[i, j] = True
+                lengths[i] = len(acts)
             final_eigs = np.full((p_max,), -np.inf, np.float32)
             for i, g in enumerate(goals):
                 e = eigs[np.where((global_points == g).all(axis=(1, 2)))[0][0]]
@@ -207,12 +215,12 @@ class ActiveMapper:
                 final_eigs[i] = np.log(max(float(e), 1e-30))
             scores = path_eig_scores(
                 slam.state, h_train, jnp.asarray(w2cs), jnp.asarray(valid),
-                jnp.asarray(final_eigs), slam.camera, slam.fisher_settings,
+                jnp.asarray(lengths), jnp.asarray(final_eigs), slam.camera,
+                slam.fisher_settings,
                 float(self.cfg.H_reg_lambda),
                 float(self.cfg.path_pose_weight),
                 float(self.cfg.path_point_weight),
                 float(self.cfg.path_end_weight),
-                int(self.cfg.acc_H_train_every),
                 bool(self.cfg.vol_weighted_H),
                 float(slam.gs_pts_cnt()))
             best = int(np.argmax(np.asarray(scores)[:n_paths]))

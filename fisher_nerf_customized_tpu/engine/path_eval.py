@@ -31,16 +31,27 @@ from ..ops.fisher import fisher_diag
 from ..ops.rasterize import RenderSettings
 
 
+def acc_step_indices(n_actions: int, acc_every: int) -> list[int]:
+    """The action indices whose Hessians affect the score: the reference
+    computes a Hessian per action but only ACCUMULATES (and scores) when
+    (len(actions)+1) % acc_every == 0 (tester:1706-1710) — i.e. 0-based
+    steps s with (s+2) % acc_every == 0.  Everything else is wasted work
+    there; here it is skipped exactly."""
+    return [s for s in range(n_actions) if (s + 2) % acc_every == 0]
+
+
 @functools.partial(jax.jit, static_argnames=("camera", "settings",
-                                             "acc_every", "vol_weighted"))
-def path_eig_scores(state: GaussianState, h_train, path_w2cs, path_valid,
-                    final_eigs, camera: Camera, settings: RenderSettings,
-                    h_reg_lambda, path_pose_weight, path_point_weight,
-                    path_end_weight, acc_every: int, vol_weighted: bool,
-                    gs_pts_cnt):
+                                             "vol_weighted"))
+def path_eig_scores(state: GaussianState, h_train, acc_w2cs, acc_valid,
+                    lengths, final_eigs, camera: Camera,
+                    settings: RenderSettings, h_reg_lambda,
+                    path_pose_weight, path_point_weight, path_end_weight,
+                    vol_weighted: bool, gs_pts_cnt):
     """Scores (P,) for P padded paths.
 
-    path_w2cs: (P, A, 4, 4) world->cam per future pose, path_valid: (P, A).
+    acc_w2cs: (P, A', 4, 4) world->cam at the ACC steps only (see
+    acc_step_indices), acc_valid: (P, A'), lengths: (P,) full action
+    counts (the score normalizer uses the whole path length).
     """
     params = state.params()
     means_w = params["means3D"]
@@ -49,7 +60,7 @@ def path_eig_scores(state: GaussianState, h_train, path_w2cs, path_valid,
     opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
     colors = params["rgb_colors"]
     active = jnp.arange(means_w.shape[0]) < state.n_active
-    n_paths = path_w2cs.shape[0]
+    n_paths = acc_w2cs.shape[0]
 
     def fisher_at(w2c):
         mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
@@ -57,7 +68,7 @@ def path_eig_scores(state: GaussianState, h_train, path_w2cs, path_valid,
                            active=active, settings=settings)["H"]
 
     def step(carry, inp):
-        h_paths, totals, counts = carry        # (P,N,4), (P,), (P,)
+        h_paths, totals = carry                # (P,N,4), (P,)
         w2cs_s, ok_s = inp                     # (P,4,4), (P,)
         cur_h = jax.vmap(fisher_at)(w2cs_s)    # (P, N, 4)
         h_inv = 1.0 / (h_paths + h_reg_lambda)
@@ -66,19 +77,15 @@ def path_eig_scores(state: GaussianState, h_train, path_w2cs, path_valid,
             raw = raw / gs_pts_cnt
         point_eig = jnp.log(jnp.maximum(raw, 1e-30))
         # pose term: logdet(eye(6)) == 0 (kept for parity)
-        acc_now = ok_s & (((counts + 2) % acc_every) == 0)
-        totals = totals + jnp.where(acc_now, path_point_weight * point_eig,
-                                    0.0)
-        h_paths = h_paths + jnp.where(acc_now, 1.0, 0.0)[:, None, None] * cur_h
-        counts = counts + jnp.where(ok_s, 1, 0)
-        return (h_paths, totals, counts), None
+        totals = totals + jnp.where(ok_s, path_point_weight * point_eig, 0.0)
+        h_paths = h_paths + jnp.where(ok_s, 1.0, 0.0)[:, None, None] * cur_h
+        return (h_paths, totals), None
 
     h0 = jnp.broadcast_to(h_train[None], (n_paths,) + h_train.shape)
-    (h_paths, totals, counts), _ = jax.lax.scan(
-        step,
-        (h0, jnp.zeros((n_paths,)), jnp.zeros((n_paths,), jnp.int32)),
-        (jnp.swapaxes(path_w2cs, 0, 1), jnp.swapaxes(path_valid, 0, 1)))
-    length = jnp.maximum(counts.astype(jnp.float32), 1.0)
+    (h_paths, totals), _ = jax.lax.scan(
+        step, (h0, jnp.zeros((n_paths,))),
+        (jnp.swapaxes(acc_w2cs, 0, 1), jnp.swapaxes(acc_valid, 0, 1)))
+    length = jnp.maximum(lengths.astype(jnp.float32), 1.0)
     return jnp.where(path_end_weight > 0,
                      totals / length + path_end_weight * final_eigs,
                      (totals + final_eigs) / length)

@@ -625,7 +625,22 @@ class GaussianSLAM:
         return h
 
     def compute_H_train(self, random_gaussian_params=None):
-        """Σ over keyframes of compute_Hessian (gaussian.py:1338-1348)."""
+        """Σ over keyframes of compute_Hessian (gaussian.py:1338-1348).
+
+        Cached per (keyframe count, frame_idx, n_active): within one
+        planning event pose_eval and the path evaluation both need it —
+        the reference recomputes it each time (pose_eval at gaussian.py:
+        1355 AND plan_best_path at tester:1643)."""
+        key = (len(self.keyframes), self.frame_idx, self.n_active,
+               self.state.capacity)
+        cached = getattr(self, "_h_train_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        h = self._compute_h_train_impl()
+        self._h_train_cache = (key, h)
+        return h
+
+    def _compute_h_train_impl(self):
         w2cs = self.keyframes.stacked_w2cs()
         if len(w2cs) == 0:
             return jnp.zeros((self.state.capacity, 4))
