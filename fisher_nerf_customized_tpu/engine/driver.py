@@ -95,6 +95,17 @@ class ActiveMapper:
                           img_size=(self.slam.camera.height,
                                     self.slam.camera.width))
         self.planner.update_occ_map(obs["depth"], c2w, 0)
+        # top-down fog-of-war visualizer (reference HabitatVisualizer;
+        # its fow_mask is the 2D coverage numerator, tester:1498-1516)
+        self.habvis = None
+        if self.scene is not None:
+            from .visualization import MapVisualizer
+            vis_dim = (192, 192)
+            gt_free = self.scene.gt_free_map(self.planner.cell_size * 2,
+                                             vis_dim,
+                                             self.planner.map_center)
+            self.habvis = MapVisualizer(gt_free, self.planner.cell_size * 2,
+                                        self.planner.map_center)
         # init scan: 90° of turn-left steps (reference init_local_policy,
         # tester:2803-2876 queues 9 x turn-left at 10°)
         for _ in range(max(int(90.0 // self.turn_angle), 1)):
@@ -367,6 +378,15 @@ class ActiveMapper:
                 m = accuracy_comp_ratio_from_pcl(est, recon_gt_points, 0.05)
                 self.metrics.record(t, **m)
                 self.mlog.log(t, **m, n_gaussians=self.slam.n_active)
+            if self.habvis is not None:
+                self.habvis.update_fow_sim(obs["c2w"])
+                if self.dynamic_scene and getattr(self.sim, "dynamic_object",
+                                                  None) is not None:
+                    self.habvis.update_object(
+                        self.sim.dynamic_object.translation)
+                if bool(self.cfg.policy.save_nav_images) and t % 20 == 0:
+                    self.habvis.save_vis_seen(
+                        os.path.join(self.eval_dir, "nav_images"), t)
             if t > 0 and t % self.checkpoint_interval == 0:
                 self.save_checkpoint(t)
             if on_step is not None:
@@ -377,6 +397,8 @@ class ActiveMapper:
                       n_gaussians=self.slam.n_active,
                       n_keyframes=len(self.slam.keyframes),
                       timing=self.timer.summary())
+        if self.habvis is not None:
+            result["coverage_2d_pct"] = self.habvis.coverage_2d()
         if eval_every != 0 and self.scene is not None and \
                 hasattr(self.sim, "render_at"):
             nav_eval = eval_navigation(self.slam, self.sim, self.scene,
