@@ -90,12 +90,14 @@ def _blend_kernel(packed_ref, pix_ref, out_color_ref, out_t_ref,
 
         one_minus = 1.0 - alpha
         t_after = t_before * one_minus
+        # carries must be float vectors: Mosaic rejects (P,) bool loop
+        # carries and -inf constants in this position
         crossing = (t_before > 0.5) & (t_after < 0.5) & (alpha > 0.0)
         dep_b = jnp.broadcast_to(dep, crossing.shape)
-        dep_cross = jnp.max(jnp.where(crossing, dep_b, -jnp.inf), axis=0)
-        any_cross = jnp.any(crossing, axis=0)
-        med = jnp.where(jnp.logical_not(has_med) & any_cross, dep_cross, med)
-        has_med = has_med | any_cross
+        dep_cross = jnp.max(jnp.where(crossing, dep_b, -1e30), axis=0)
+        any_cross = jnp.any(crossing, axis=0).astype(jnp.float32)
+        med = jnp.where((has_med < 0.5) & (any_cross > 0.5), dep_cross, med)
+        has_med = jnp.maximum(has_med, any_cross)
 
         chunk_prod = jnp.exp(jnp.sum(logs, axis=0))
         t_carry = t_carry * chunk_prod
@@ -109,13 +111,13 @@ def _blend_kernel(packed_ref, pix_ref, out_color_ref, out_t_ref,
     t0 = jnp.ones((p,), jnp.float32)
     c0 = jnp.zeros((p, n_ch), jnp.float32)
     med0 = jnp.zeros((p,), jnp.float32)
-    hm0 = jnp.zeros((p,), bool)
+    hm0 = jnp.zeros((p,), jnp.float32)
     _k, t_final, c_acc, med, has_med = jax.lax.while_loop(
         cond, chunk_body, (0, t0, c0, med0, hm0))
 
     out_color_ref[0, :, :] = c_acc
     out_t_ref[0, 0, :] = t_final
-    out_med_ref[0, 0, :] = jnp.where(has_med, med, max_depth)
+    out_med_ref[0, 0, :] = jnp.where(has_med > 0.5, med, max_depth)
 
 
 @functools.partial(jax.jit,
