@@ -92,6 +92,22 @@ class MapVisualizer:
                          np.asarray(d["obj_traj"]).reshape(-1, 2)]
 
 
+def write_trajectory_video(frames: list, path: str, fps: int = 10):
+    """Episode RGB frames -> mp4 (reference saves a trajectory video every
+    100 steps; tester:782-789)."""
+    if not frames:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for f in frames:
+        img = np.asarray(f)
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255, 0, 255).astype(np.uint8)
+        vw.write(img[..., ::-1])
+    vw.release()
+
+
 def save_occ_map_png(occ_map, path: str, candidates=None, scores=None,
                      agent_cell=None, frontier=None):
     """Occupancy map PNG with candidate-pose score heatmap (reference
