@@ -664,8 +664,10 @@ class GaussianSLAM:
         h_train = self.compute_H_train()
         h_train_inv = 1.0 / (h_train + 0.1)
         w2cs = np.linalg.inv(poses)
-        scores = []
+        chunks = []
         ck = self.pose_chunk
+        # dispatch ALL chunks asynchronously, sync once at the end (each
+        # early np.asarray would pay a full device round-trip)
         for i in range(0, len(w2cs), ck):
             chunk = w2cs[i:i + ck]
             n_real = len(chunk)
@@ -675,8 +677,9 @@ class GaussianSLAM:
                                     (ck - n_real, 1, 1))])
             s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
                              self.camera, self.fisher_settings)
-            scores.append(np.asarray(s)[:n_real])
-        return jnp.asarray(np.concatenate(scores)), jnp.asarray(poses)
+            chunks.append((s, n_real))
+        scores = np.concatenate([np.asarray(s)[:n] for s, n in chunks])
+        return jnp.asarray(scores), jnp.asarray(poses)
 
     def gs_pts_cnt(self, random_gaussian_params=None):
         return max(self.n_active, 1)
