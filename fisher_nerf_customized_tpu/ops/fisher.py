@@ -150,17 +150,18 @@ def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
         t_before = t_start[:, None, :] * cum_excl              # (T, CH, P)
         w = alpha * t_before
 
-        # suffix color sums: within-chunk reversed cumsum + carry from the
-        # chunks behind; (T, CH, P, C)
-        contrib = w[..., None] * col[:, :, None, :]
-        suffix_inc = jnp.flip(jnp.cumsum(jnp.flip(contrib, axis=1), axis=1), axis=1)
-        s_behind = (suffix_inc - contrib) + s_behind_carry[:, None, :, :]
+        # the cotangent is uniform across channels (compute_Hessian feeds
+        # 1e-3 * ones), so the suffix color sum can be CHANNEL-SUMMED
+        # before accumulation: (T, CH, P) instead of (T, CH, P, C)
+        csum = jnp.sum(col, axis=-1)                           # (T, CH)
+        contrib = w * csum[:, :, None]                         # (T, CH, P)
+        suffix_inc = jnp.flip(jnp.cumsum(jnp.flip(contrib, axis=1), axis=1),
+                              axis=1)
+        s_behind = (suffix_inc - contrib) + s_behind_carry[:, None, :]
 
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-2)            # alpha <= 0.99
-        # dL/dalpha with uniform per-channel cotangent `grad_value`
-        dl_da = grad_value * jnp.sum(
-            t_before[..., None] * col[:, :, None, :] - s_behind * inv_om[..., None],
-            axis=-1)
+        # dL/dalpha = grad * Σ_ch (T·c_ch − S_behind_ch/(1−α))
+        dl_da = grad_value * (t_before * csum[:, :, None] - s_behind * inv_om)
         dl_da = jnp.where(alpha > 0.0, dl_da, 0.0)             # (T, CH, P)
 
         dl_do = g * dl_da
@@ -192,7 +193,7 @@ def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
         return (s_behind_carry, h_acc), None
 
     h0 = jnp.zeros((n, 4), jnp.float32)
-    s0 = jnp.zeros((n_tiles, p, cch), jnp.float32)
+    s0 = jnp.zeros((n_tiles, p), jnp.float32)
     (_sb, h), _ = jax.lax.scan(bwd_step, (s0, h0),
                                (jnp.flip(k0s), jnp.flip(t_starts, axis=0)))
     return dict(H=h, radii=prep.radius, visible=prep.radius > 0)
