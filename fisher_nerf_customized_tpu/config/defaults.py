@@ -198,6 +198,8 @@ def get_cfg_defaults() -> ConfigNode:
         capacity=65536,            # initial Gaussian-state slot capacity
         capacity_growth=2,         # grow factor when slots run out
         pose_chunk=32,             # candidate poses evaluated per XLA launch
+        mapping_frames_per_iter=1,  # >1: minibatch mapping (TPU upgrade;
+                                    # 1 = reference one-frame-per-iter)
         fisher_mode="sq_chain",    # sq_chain | hutchinson
         hutchinson_probes=8,
         mesh_axes=dict(data=1, model=1),

@@ -168,6 +168,10 @@ class ActiveMapper:
         """(reference tester:1596-1736) global candidates -> A* + actions ->
         batched path EIG -> best action sequence."""
         slam, planner = self.slam, self.planner
+        if bool(self.cfg.explore.prune_invisible):
+            # drop Gaussians invisible from every keyframe before planning
+            # (reference gaussian.py:1318-1326, explore.prune_invisible)
+            slam.prune_invisible()
         gaussian_points = slam.gaussian_points
 
         if self.policy_name == "frontier":
@@ -406,6 +410,16 @@ class ActiveMapper:
                                        cam_height=float(c2w[1, 3]))
             result["eval"] = {k: v for k, v in nav_eval.items()
                               if k != "per_pose"}
+            # per-pose dump + results txt (reference tester:1320-1325
+            # {policy}_results.txt and :1494-1496 eval.json)
+            import json as _json
+            with open(os.path.join(self.eval_dir, "eval.json"), "w") as f:
+                _json.dump(nav_eval["per_pose"], f)
+            with open(os.path.join(self.eval_dir,
+                                   f"{self.policy_name}_results.txt"),
+                      "w") as f:
+                for k, v in result["eval"].items():
+                    f.write(f"{k}: {v}\n")
         if recon_gt_points is not None:
             est = self.global_pcl.get()
             result["recon"] = accuracy_comp_ratio_from_pcl(

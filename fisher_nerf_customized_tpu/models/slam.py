@@ -63,6 +63,7 @@ class MappingConfig(NamedTuple):
     lr_log_scales: float
     depth_error_ratio: float
     downsample_pcd: int
+    frames_per_iter: int = 1
 
 
 def _gaussian_rendervars(params: dict, w2c):
@@ -122,9 +123,17 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
     params = state.params()
     opt = adam_init(params)
 
-    def loss_fn(p, n_active, w2c, color, depth):
-        return _mapping_loss(p, n_active, w2c, color, depth, camera,
-                             settings, mc)
+    def loss_fn(p, n_active, w2cs_i, colors_i, depths_i):
+        # frames_per_iter > 1 is a TPU-native minibatch upgrade over the
+        # reference's one-random-frame-per-iteration loop: the mean loss
+        # of F frames per Adam step (same total gradient samples in
+        # num_iters/F x the launches)
+        def one(w2c, color, depth):
+            loss, aux = _mapping_loss(p, n_active, w2c, color, depth,
+                                      camera, settings, mc)
+            return loss
+        losses = jax.vmap(one)(w2cs_i, colors_i, depths_i)
+        return jnp.mean(losses), dict()
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -142,7 +151,7 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
 
     def body(carry, it):
         params, ts, n_active, opt = carry
-        i = frame_choices[it]
+        i = frame_choices[it]                     # (F,) frame indices
         (loss, aux), grads = grad_fn(params, n_active, kf_w2cs[i],
                                      kf_colors[i], kf_depths[i])
         params, opt = adam_step(opt, params, grads, lrs, eps=1e-15)
@@ -156,9 +165,10 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
                 params, ts, n_active, opt)
         return (params, ts, n_active, opt), loss
 
+    n_steps = max(mc.num_iters // mc.frames_per_iter, 1)
     init = (params, state.timestep, state.n_active, opt)
     (params, ts, n_active, _opt), losses = jax.lax.scan(
-        body, init, jnp.arange(mc.num_iters))
+        body, init, jnp.arange(n_steps))
     new_state = state.replace_params(params)._replace(
         timestep=ts, n_active=n_active)
     return new_state, losses
@@ -394,6 +404,7 @@ class GaussianSLAM:
             lr_log_scales=float(mp.lrs.log_scales),
             depth_error_ratio=float(mp.densify_dict.depth_error_ratio),
             downsample_pcd=int(cfg.downsample_pcd),
+            frames_per_iter=int(cfg.tpu.get("mapping_frames_per_iter", 1)),
         )
         tr = cfg.tracking
         self.tc = TrackingConfig(
@@ -583,7 +594,9 @@ class GaussianSLAM:
         win_colors = win_colors[:b_max]
         win_depths = win_depths[:b_max]
         win_w2cs = win_w2cs[:b_max]
-        choices = self.rng.integers(0, min(b, b_max), size=self.mc.num_iters)
+        n_steps = max(self.mc.num_iters // self.mc.frames_per_iter, 1)
+        choices = self.rng.integers(
+            0, min(b, b_max), size=(n_steps, self.mc.frames_per_iter))
         state, losses = _mapping_phase(
             self.state,
             jnp.asarray(np.stack(win_colors)),
