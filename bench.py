@@ -100,6 +100,9 @@ def bench_rasterizer(n: int = 131072, iters: int = 32, n_scenes: int = 4):
 
 
 def main():
+    from fisher_nerf_customized_tpu.utils.jax_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
     mapper, scene = build()
 
     # warmup segment (compiles every kernel: mapping, densify, fisher,

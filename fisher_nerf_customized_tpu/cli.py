@@ -98,6 +98,8 @@ def make_sim(args, cfg, scene_id: str):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
+    from .utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     from .engine import ActiveMapper
 
     results = {}
