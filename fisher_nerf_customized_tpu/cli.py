@@ -137,6 +137,8 @@ def main_navigation(argv=None):
     """Frontier-only pipeline (reference main_navigation.py)."""
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
+    from .utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     from .engine import FrontierNavigator
 
     results = {}
