@@ -135,6 +135,59 @@ def prune_compact(state: GaussianState, keep) -> tuple[GaussianState, jnp.ndarra
     return new_state, order
 
 
+def gs_densify(state: GaussianState, grad_accum, denom, rng_key,
+               grad_thresh: float = 0.0002, split_scale: float = 0.05,
+               num_to_split_into: int = 2,
+               removal_opacity_threshold: float = 0.005,
+               time_idx: float = 0.0):
+    """Gaussian-Splatting gradient densification: CLONE small high-gradient
+    splats, SPLIT large ones into `n` children with positions resampled from
+    the parent's covariance and scales / (0.8 n), then prune low-opacity
+    slots (reference slam_external.py:411-463 densify; OFF in every shipped
+    config — use_gaussian_splatting_densification=false — but part of the
+    API surface).
+
+    grad_accum/denom: accumulated ||∂L/∂means3D|| and update counts from
+    the mapping phase.  Executed once per mapping event (the reference runs
+    it every densify_every iterations inside the loop).
+    """
+    import jax
+    from ..utils.geometry import quat_to_rotmat
+
+    active = state.active
+    grads = jnp.where(denom > 0, grad_accum / jnp.maximum(denom, 1), 0.0)
+    max_scale = jnp.max(jnp.exp(state.log_scales), axis=1)
+
+    high_grad = active & (grads >= grad_thresh)
+    to_clone = high_grad & (max_scale <= split_scale)
+    to_split = high_grad & (max_scale > split_scale)
+
+    params = state.params()
+    n = num_to_split_into
+    state, _dropped = add_gaussians(state, params, to_clone, time_idx)
+
+    # children: n copies with resampled positions, shrunk scales
+    key = rng_key
+    R = quat_to_rotmat(params["unnorm_rotations"])
+    stds = jnp.exp(params["log_scales"])
+    for i in range(n):
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, params["means3D"].shape) * stds
+        offset = jnp.einsum("nij,nj->ni", R, noise)
+        child = dict(params)
+        child["means3D"] = params["means3D"] + offset
+        child["log_scales"] = params["log_scales"] - jnp.log(0.8 * n)
+        state, _dropped = add_gaussians(state, child, to_split, time_idx)
+
+    # remove split sources + low-opacity slots
+    keep = jnp.ones((state.capacity,), bool)
+    keep = keep.at[: to_split.shape[0]].set(~to_split)
+    opac = jax.nn.sigmoid(state.logit_opacities[:, 0])
+    keep = keep & (opac >= removal_opacity_threshold)
+    state, order = prune_compact(state, keep)
+    return state
+
+
 # ---------------------------------------------------------------------------
 # Adam with per-parameter-group learning rates (torch semantics)
 # ---------------------------------------------------------------------------

@@ -137,7 +137,7 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def prune_now(params, ts, n_active, opt):
+    def prune_now(params, ts, n_active, opt, ga, dn):
         opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
         keep = opac >= mc.prune_thresh
         keep = keep & (jnp.arange(keep.shape[0]) < n_active)
@@ -147,31 +147,36 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
         ts = ts[order]
         opt = opt._replace(mu={k: v[order] for k, v in opt.mu.items()},
                            nu={k: v[order] for k, v in opt.nu.items()})
-        return params, ts, n_new, opt
+        return params, ts, n_new, opt, ga[order], dn[order]
 
     def body(carry, it):
-        params, ts, n_active, opt = carry
+        params, ts, n_active, opt, ga, dn = carry
         i = frame_choices[it]                     # (F,) frame indices
         (loss, aux), grads = grad_fn(params, n_active, kf_w2cs[i],
                                      kf_colors[i], kf_depths[i])
+        # densification statistics (reference accumulate_mean2d_gradient)
+        gnorm = jnp.linalg.norm(grads["means3D"], axis=-1)
+        ga = ga + gnorm
+        dn = dn + (gnorm > 0).astype(jnp.float32)
         params, opt = adam_step(opt, params, grads, lrs, eps=1e-15)
 
         if mc.prune_enabled:
             do_prune = ((it >= mc.prune_start) & (it <= mc.prune_stop)
                         & (it % mc.prune_every == 0))
-            params, ts, n_active, opt = jax.lax.cond(
+            params, ts, n_active, opt, ga, dn = jax.lax.cond(
                 do_prune, prune_now,
-                lambda p, t, n, o: (p, t, n, o),
-                params, ts, n_active, opt)
-        return (params, ts, n_active, opt), loss
+                lambda p, t, n, o, a, d: (p, t, n, o, a, d),
+                params, ts, n_active, opt, ga, dn)
+        return (params, ts, n_active, opt, ga, dn), loss
 
     n_steps = max(mc.num_iters // mc.frames_per_iter, 1)
-    init = (params, state.timestep, state.n_active, opt)
-    (params, ts, n_active, _opt), losses = jax.lax.scan(
+    zeros_c = jnp.zeros((state.capacity,), jnp.float32)
+    init = (params, state.timestep, state.n_active, opt, zeros_c, zeros_c)
+    (params, ts, n_active, _opt, ga, dn), losses = jax.lax.scan(
         body, init, jnp.arange(n_steps))
     new_state = state.replace_params(params)._replace(
         timestep=ts, n_active=n_active)
-    return new_state, losses
+    return new_state, losses, ga, dn
 
 
 class TrackingConfig(NamedTuple):
@@ -597,7 +602,7 @@ class GaussianSLAM:
         n_steps = max(self.mc.num_iters // self.mc.frames_per_iter, 1)
         choices = self.rng.integers(
             0, min(b, b_max), size=(n_steps, self.mc.frames_per_iter))
-        state, losses = _mapping_phase(
+        state, losses, grad_accum, denom = _mapping_phase(
             self.state,
             jnp.asarray(np.stack(win_colors)),
             jnp.asarray(np.stack(win_depths)),
@@ -606,6 +611,34 @@ class GaussianSLAM:
             self.camera, self.settings, self.mc)
         self.state = state
         self.last_losses = np.asarray(losses)
+
+        if bool(cfgc.mapping.use_gaussian_splatting_densification):
+            # gradient clone/split densification (reference
+            # slam_external.py:411 densify; once per event here)
+            from .gaussian_state import gs_densify
+            dd = cfgc.mapping.densify_dict
+            n_children = int(dd.num_to_split_into)
+            split_scale = 0.05
+            # exact pre-growth: count clones/splits host-side so the
+            # eager scatter in gs_densify never drops on overflow
+            g = np.asarray(grad_accum)
+            d = np.asarray(denom)
+            mean_g = np.where(d > 0, g / np.maximum(d, 1), 0.0)
+            ms = np.exp(np.asarray(self.state.log_scales)).max(axis=1)
+            act = np.arange(self.state.capacity) < self.n_active
+            high = act & (mean_g >= float(dd.grad_thresh))
+            incoming = int((high & (ms <= split_scale)).sum()) \
+                + n_children * int((high & (ms > split_scale)).sum())
+            self._ensure_capacity(incoming)
+            self.state = gs_densify(
+                self.state, grad_accum, denom,
+                jax.random.PRNGKey(int(time_idx)),
+                grad_thresh=float(dd.grad_thresh),
+                split_scale=split_scale,
+                num_to_split_into=n_children,
+                removal_opacity_threshold=float(
+                    dd.removal_opacity_threshold),
+                time_idx=float(time_idx))
 
     def render_at_pose(self, c2w, white_bg: bool = False, mask=None):
         c2w = np.asarray(c2w, np.float32)

@@ -160,3 +160,66 @@ def test_save_load_roundtrip(tmp_path):
     assert slam2.n_active == slam.n_active
     render1 = np.asarray(slam2.render_at_pose(obs["c2w"])["render"])
     np.testing.assert_allclose(render0, render1, atol=1e-5)
+
+
+def test_gs_densify_clone_split_prune():
+    """Gradient densification (reference slam_external.py:411-463 densify):
+    a small high-gradient splat is CLONED, a large high-gradient splat is
+    SPLIT into n children (source removed), low-gradient splats untouched,
+    low-opacity slots pruned."""
+    import jax
+    import jax.numpy as jnp
+    from fisher_nerf_customized_tpu.models.gaussian_state import (
+        empty_state, add_gaussians, gs_densify)
+
+    state = empty_state(64)
+    m = 4
+    params = {
+        "means3D": jnp.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]],
+                             jnp.float32),
+        "rgb_colors": jnp.full((m, 3), 0.5),
+        "unnorm_rotations": jnp.tile(jnp.array([1.0, 0, 0, 0]), (m, 1)),
+        # slot 3 = low opacity (pruned); others opaque
+        "logit_opacities": jnp.array([[3.0], [3.0], [3.0], [-9.0]]),
+        # slot 1 = big (scale 0.2 > 0.05), others small
+        "log_scales": jnp.log(jnp.array(
+            [[0.01] * 3, [0.2] * 3, [0.01] * 3, [0.01] * 3])),
+    }
+    state, _ = add_gaussians(state, params, jnp.ones((m,), bool), 0.0)
+    assert int(state.n_active) == 4
+
+    # slots 0 (small) and 1 (big) have high grads; 2 and 3 low
+    ga = jnp.zeros((64,)).at[0].set(1.0).at[1].set(1.0)
+    dn = jnp.zeros((64,)).at[:4].set(1.0)
+    out = gs_densify(state, ga, dn, jax.random.PRNGKey(0),
+                     grad_thresh=0.5, split_scale=0.05,
+                     num_to_split_into=2,
+                     removal_opacity_threshold=0.005)
+    # 4 start + 1 clone + 2 children - 1 split source - 1 low-opacity = 5
+    assert int(out.n_active) == 5
+    means = np.asarray(out.means3D[: int(out.n_active)])
+    # clone of slot 0 -> two splats exactly at origin
+    assert (np.linalg.norm(means, axis=1) < 1e-6).sum() == 2
+    # split source at x=1 removed, children near it with shrunk scales
+    assert not any(np.allclose(p, [1, 0, 0]) for p in means)
+    near = np.abs(means[:, 0] - 1.0) < 1.0
+    assert near.sum() >= 2
+    scales = np.exp(np.asarray(out.log_scales[: int(out.n_active)]))
+    assert scales.max() < 0.2  # children shrunk by 0.8*n
+    # low-opacity slot 3 gone
+    assert not any(np.allclose(p, [3, 0, 0]) for p in means)
+
+
+def test_slam_gs_densification_episode(tmp_path):
+    """Episode path with use_gaussian_splatting_densification on: runs
+    without error and keeps a live map."""
+    cfg = small_cfg(tmp_path)
+    cfg.mapping.use_gaussian_splatting_densification = True
+    cfg.mapping.densify_dict.grad_thresh = 1e-8  # force some activity
+    slam = GaussianSLAM(cfg)
+    sim = make_sim()
+    obs = run_short_episode(slam, sim, n_steps=6)
+    assert slam.n_active > 0
+    out = slam.render_at_pose(obs["c2w"])
+    psnr = float(calc_psnr(out["render"], obs["rgb"]))
+    assert psnr > 15.0
