@@ -54,6 +54,10 @@ def load_config(args):
     cfg = get_cfg_defaults()
     if args.slam_config:
         cfg.merge_from_file(args.slam_config)
+    if args.log_dir:
+        cfg.workdir = args.log_dir
+    if args.name:
+        cfg.run_name = args.name
     if args.policy:
         cfg.policy.name = args.policy
     if args.max_steps is not None:
