@@ -55,7 +55,7 @@ def build():
     cfg.explore.centering = True
     cfg.H_reg_lambda = 1e-6
     cfg.path_end_weight = 30.0
-    cfg.tpu.capacity = 65536
+    cfg.tpu.capacity = 32768
     cfg.tpu.pose_chunk = 32
 
     cam = Camera(fx=128.0, fy=128.0, cx=128.0, cy=128.0, width=256,

@@ -108,7 +108,8 @@ def _mapping_loss(params, n_active, w2c, gt_color, gt_depth, camera,
     ssim = calc_ssim(out["im"], gt_color)
     im_loss = 0.8 * im_l1 + 0.2 * (1.0 - ssim)
     loss = mc.depth_weight * depth_l1 + mc.im_weight * im_loss
-    return loss, dict(depth_l1=depth_l1, im_loss=im_loss)
+    return loss, dict(depth_l1=depth_l1, im_loss=im_loss,
+                      overflow=out["overflow"])
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "mc"))
@@ -131,9 +132,9 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
         def one(w2c, color, depth):
             loss, aux = _mapping_loss(p, n_active, w2c, color, depth,
                                       camera, settings, mc)
-            return loss
-        losses = jax.vmap(one)(w2cs_i, colors_i, depths_i)
-        return jnp.mean(losses), dict()
+            return loss, aux["overflow"]
+        losses, ovs = jax.vmap(one)(w2cs_i, colors_i, depths_i)
+        return jnp.mean(losses), jnp.sum(ovs)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -152,8 +153,8 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
     def body(carry, it):
         params, ts, n_active, opt, ga, dn = carry
         i = frame_choices[it]                     # (F,) frame indices
-        (loss, aux), grads = grad_fn(params, n_active, kf_w2cs[i],
-                                     kf_colors[i], kf_depths[i])
+        (loss, overflow), grads = grad_fn(params, n_active, kf_w2cs[i],
+                                          kf_colors[i], kf_depths[i])
         # densification statistics (reference accumulate_mean2d_gradient)
         gnorm = jnp.linalg.norm(grads["means3D"], axis=-1)
         ga = ga + gnorm
@@ -167,16 +168,16 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
                 do_prune, prune_now,
                 lambda p, t, n, o, a, d: (p, t, n, o, a, d),
                 params, ts, n_active, opt, ga, dn)
-        return (params, ts, n_active, opt, ga, dn), loss
+        return (params, ts, n_active, opt, ga, dn), (loss, overflow)
 
     n_steps = max(mc.num_iters // mc.frames_per_iter, 1)
     zeros_c = jnp.zeros((state.capacity,), jnp.float32)
     init = (params, state.timestep, state.n_active, opt, zeros_c, zeros_c)
-    (params, ts, n_active, _opt, ga, dn), losses = jax.lax.scan(
+    (params, ts, n_active, _opt, ga, dn), (losses, overflows) = jax.lax.scan(
         body, init, jnp.arange(n_steps))
     new_state = state.replace_params(params)._replace(
         timestep=ts, n_active=n_active)
-    return new_state, losses, ga, dn
+    return new_state, losses, ga, dn, jnp.sum(overflows)
 
 
 class TrackingConfig(NamedTuple):
@@ -452,6 +453,30 @@ class GaussianSLAM:
     def get_gaussian_xyz(self):
         return jnp.asarray(self.gaussian_points)
 
+    def _maybe_bump_tile_capacity(self, overflow: int, n_renders: int):
+        """Adaptive per-tile splat capacity: renders start at a small
+        `max_per_tile` (gather rows + blend FLOPs scale linearly with it)
+        and double — a bucketed recompile, like capacity growth — when the
+        truncated splat-tile entry fraction exceeds overflow_bump_ratio.
+        The CUDA reference has no cap at all (its per-tile lists are
+        dynamic, rasterizer_impl.cu:277-323); truncation here drops only
+        the FARTHEST splats in the deepest tiles, which front-to-back
+        blending would have saturated away."""
+        st = self.settings
+        limit = int(self.cfg.tpu.get("max_per_tile_limit", 1024))
+        if st.max_per_tile >= limit or n_renders <= 0:
+            return
+        n_tiles = (-(-self.camera.width // st.tile_size)
+                   * -(-self.camera.height // st.tile_size))
+        frac = overflow / float(n_renders * n_tiles * st.max_per_tile)
+        if frac > float(self.cfg.tpu.get("overflow_bump_ratio", 1e-3)):
+            new_k = min(2 * st.max_per_tile, limit)
+            import logging
+            logging.getLogger("fnc_tpu.slam").info(
+                "per-tile overflow %.2f%% > threshold: max_per_tile %d -> %d",
+                100 * frac, st.max_per_tile, new_k)
+            self.settings = st._replace(max_per_tile=new_k)
+
     def _ensure_capacity(self, incoming: int):
         cap = self.state.capacity
         need = self.n_active + incoming
@@ -570,11 +595,7 @@ class GaussianSLAM:
             if int(dropped) > 0:   # capacity guard tripped mid-event
                 self._ensure_capacity(int(dropped) + 1024)
             if int(overflow) > 0:
-                import logging
-                logging.getLogger("fnc_tpu.slam").warning(
-                    "tile overflow: %d splat-tile entries truncated — "
-                    "raise cfg.tpu.max_per_tile (geometry quality degrades)",
-                    int(overflow))
+                self._maybe_bump_tile_capacity(int(overflow), 2)
 
         # keyframe window selection (gaussian.py:700-722)
         num_kf = int(cfgc.mapping_window_size) - 2
@@ -602,7 +623,7 @@ class GaussianSLAM:
         n_steps = max(self.mc.num_iters // self.mc.frames_per_iter, 1)
         choices = self.rng.integers(
             0, min(b, b_max), size=(n_steps, self.mc.frames_per_iter))
-        state, losses, grad_accum, denom = _mapping_phase(
+        state, losses, grad_accum, denom, overflow = _mapping_phase(
             self.state,
             jnp.asarray(np.stack(win_colors)),
             jnp.asarray(np.stack(win_depths)),
@@ -611,6 +632,8 @@ class GaussianSLAM:
             self.camera, self.settings, self.mc)
         self.state = state
         self.last_losses = np.asarray(losses)
+        self._maybe_bump_tile_capacity(int(overflow),
+                                       n_steps * self.mc.frames_per_iter)
 
         if bool(cfgc.mapping.use_gaussian_splatting_densification):
             # gradient clone/split densification (reference

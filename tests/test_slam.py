@@ -223,3 +223,25 @@ def test_slam_gs_densification_episode(tmp_path):
     out = slam.render_at_pose(obs["c2w"])
     psnr = float(calc_psnr(out["render"], obs["rgb"]))
     assert psnr > 15.0
+
+
+def test_adaptive_max_per_tile_bump(tmp_path):
+    """A scene far denser than max_per_tile must trigger the bucketed
+    max_per_tile doubling (overflow fraction > overflow_bump_ratio)."""
+    cfg = small_cfg(tmp_path)
+    cfg.map_every = 1
+    cfg.downsample_pcd = 1            # one splat per pixel: dense
+    cfg.mapping.num_iters = 2
+    cfg.tpu.max_per_tile = 16         # absurdly small
+    cfg.tpu.max_per_tile_limit = 64
+    slam = GaussianSLAM(cfg)
+    rng = np.random.default_rng(0)
+    col = rng.random((IMG, IMG, 3)).astype(np.float32)
+    dep = np.full((IMG, IMG), 2.0, np.float32)
+    slam.init(col, dep, np.eye(4, dtype=np.float32))
+    for t in range(3):
+        w = np.eye(4, dtype=np.float32)
+        w[2, 3] = 0.01 * t
+        slam.track_rgbd(col, dep, gt_w2c=w)
+    assert slam.settings.max_per_tile > 16
+    assert slam.settings.max_per_tile <= 64   # respects the limit
