@@ -149,6 +149,8 @@ def get_cfg_defaults() -> ConfigNode:
         grid_multipler=3,
         centering=True,
         shortcut_path=True,
+        planner_backend="sweep",   # jitted whole-grid relaxation (one field
+                                   # serves every goal); "astar" = host A*
         frontier_select_method="largest",
     ))
 

@@ -50,6 +50,9 @@ class AstarPlanner:
         self.centering = bool(ex["centering"])
         self.frontier_select_method = str(ex["frontier_select_method"])
         self.shortcut_path = bool(ex["shortcut_path"])
+        # "sweep" = one jitted whole-grid relaxation serving every goal of a
+        # planning event (planning/sweep.py); "astar" = per-goal host A*
+        self.planner_backend = str(ex.get("planner_backend", "sweep"))
         self.pcd_far_distance = float(pol["pcd_far_distance"])
         self.eval_dir = eval_dir
         self.rng = np.random.default_rng(seed)
@@ -273,8 +276,13 @@ class AstarPlanner:
         binarymap[y, x] = 0
         self.occ_map_np = binarymap
         self.free_space_np = self.build_connected_freespace(gaussian_points)
-        self._search = AstarSearch(self.occ_map_np, self.free_space_np,
-                                   self.start)
+        if self.planner_backend == "sweep":
+            from .sweep import SweepSearch
+            self._search = SweepSearch(self.occ_map_np, self.free_space_np,
+                                       self.start)
+        else:
+            self._search = AstarSearch(self.occ_map_np, self.free_space_np,
+                                       self.start)
 
     def planning(self, goal) -> np.ndarray:
         assert self._search is not None, "call setup_start first"

@@ -163,3 +163,68 @@ def test_global_planning_with_stub_scores():
     assert poses.shape[0] <= 20 and poses.shape[1:] == (4, 4)
     # candidates are level CV cameras: y axis points down
     assert np.all(np.asarray(poses)[:, 1, 1] < 0)
+
+
+# ---------------------------------------------------------------------------
+# SweepSearch (jitted whole-grid relaxation) — must agree with host A*
+# ---------------------------------------------------------------------------
+
+def _sweep(occ, free, start):
+    from fisher_nerf_customized_tpu.planning.sweep import SweepSearch
+    return SweepSearch(occ, free, start)
+
+
+def test_sweep_simple_corridor():
+    h, w = 64, 64
+    occ = np.zeros((h, w), np.uint8)
+    occ[:, :4] = 1; occ[:, -4:] = 1; occ[:4, :] = 1; occ[-4:, :] = 1
+    free = 1 - occ
+    search = _sweep(occ, free, start=(10, 10))
+    path = search.plan(np.array([50, 50]))
+    assert len(path) >= 2
+    assert np.linalg.norm(path[0] - np.array([10, 10])) < 3
+    assert np.linalg.norm(path[-1] - np.array([50, 50])) < 3
+    for x, z in path:
+        assert occ[z, x] == 0
+
+
+def test_sweep_routes_around_wall_matches_astar_cost():
+    h, w = 64, 64
+    occ = np.zeros((h, w), np.uint8)
+    occ[:2, :] = 1; occ[-2:, :] = 1; occ[:, :2] = 1; occ[:, -2:] = 1
+    occ[20:24, 5:55] = 1
+    free = 1 - occ
+    sweep = _sweep(occ, free, start=(10, 30))
+    path = sweep.plan(np.array([40, 30]), shortcut=False)
+    assert len(path) >= 2
+    assert (path[:, 0] > 50).any()       # through the gap
+    for x, z in path:
+        assert occ[z, x] == 0
+    # optimality: sweep's converged cost at the goal is <= the A* path cost
+    astar = AstarSearch(occ, free, start=(10, 30))
+    apath = astar.plan(np.array([40, 30]), shortcut=False)
+    assert len(apath) >= 2
+    a_cost = astar.tree[40, 30, 0] + astar.tree[40, 30, 3]
+    s_cost = sweep.cost[40, 30]
+    assert s_cost <= a_cost + 1e-3
+
+
+def test_sweep_unreachable_returns_empty():
+    occ = np.zeros((32, 32), np.uint8)
+    occ[14:18, :] = 1
+    free = 1 - occ
+    search = _sweep(occ, free, start=(5, 16))
+    path = search.plan(np.array([28, 16]))
+    assert len(path) == 0
+
+
+def test_sweep_multi_goal_reuses_field():
+    """One sweep answers many goals (the planning-event access pattern)."""
+    occ = np.zeros((64, 64), np.uint8)
+    occ[:2, :] = 1; occ[-2:, :] = 1; occ[:, :2] = 1; occ[:, -2:] = 1
+    free = 1 - occ
+    search = _sweep(occ, free, start=(32, 32))
+    for goal in [(10, 10), (10, 50), (50, 10), (50, 50), (32, 8)]:
+        path = search.plan(np.array(goal))
+        assert len(path) >= 2
+        assert np.linalg.norm(path[-1] - np.array(goal)[::-1]) < 3
