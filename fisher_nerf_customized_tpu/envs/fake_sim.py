@@ -193,56 +193,65 @@ class SimObject:
             self.yaw = self.rng.uniform(0, 2 * np.pi)
 
 
-def _raycast(boxes: _Boxes, c2w, camera: Camera):
-    """Per-pixel nearest-hit AABB raycast.  Returns (rgb, z_depth, hit_id).
+@functools.partial(jax.jit, static_argnames=("camera",))
+def _raycast_device(lo, hi, inward, seeds, c2w, camera: Camera):
+    """Per-pixel nearest-hit AABB raycast, jitted (one tiny kernel).
 
-    Pure numpy ON PURPOSE: the simulator stands in for habitat-sim, which
-    runs on the host in the reference (SURVEY.md §3.1 "Habitat sim runs
-    in-process but on CPU/GL") — keeping it off the TPU both matches that
-    data flow and avoids a device round-trip per step."""
+    The simulator stands in for habitat-sim's C++/GL renderer (~ms per
+    frame); a host-numpy raycast at 256² costs ~70 ms/step and would cap
+    the episode benchmark at the *stand-in's* speed, not the framework's.
+    Observations are pulled back to numpy per step, preserving the
+    reference's host↔device boundary (SURVEY.md §3.1)."""
     h, w = camera.height, camera.width
-    c2w = np.asarray(c2w, np.float32)
-    lo = np.asarray(boxes.lo)
-    hi = np.asarray(boxes.hi)
-    inward = np.asarray(boxes.inward)
-    seeds = np.asarray(boxes.color_seed)
-
-    ys = (np.arange(h, dtype=np.float32) - camera.cy) / camera.fy
-    xs = (np.arange(w, dtype=np.float32) - camera.cx) / camera.fx
-    gy, gx = np.meshgrid(ys, xs, indexing="ij")
-    dirs_cam = np.stack([gx, gy, np.ones_like(gx)], axis=-1)     # (H, W, 3)
-    dirs_w = np.einsum("ij,hwj->hwi", c2w[:3, :3], dirs_cam)
+    ys = (jnp.arange(h, dtype=jnp.float32) - camera.cy) / camera.fy
+    xs = (jnp.arange(w, dtype=jnp.float32) - camera.cx) / camera.fx
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    dirs_cam = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)   # (H, W, 3)
+    dirs_w = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs_cam)
     origin = c2w[:3, 3]
 
-    safe = np.where(np.abs(dirs_w) < 1e-9, 1e-9, dirs_w)
+    safe = jnp.where(jnp.abs(dirs_w) < 1e-9, 1e-9, dirs_w)
     inv_d = 1.0 / safe
     t0 = (lo[:, None, None, :] - origin) * inv_d[None]
     t1 = (hi[:, None, None, :] - origin) * inv_d[None]
-    tmin = np.minimum(t0, t1).max(axis=-1)
-    tmax = np.maximum(t0, t1).min(axis=-1)
-    t_hit = np.where(inward[:, None, None], tmax, tmin)
-    hit_ok = (tmax >= np.maximum(tmin, 0.0)) & (t_hit > 1e-4)
-    t_hit = np.where(hit_ok, t_hit, np.inf)
-    best = np.argmin(t_hit, axis=0)                              # (H, W)
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    t_hit = jnp.where(inward[:, None, None], tmax, tmin)
+    hit_ok = (tmax >= jnp.maximum(tmin, 0.0)) & (t_hit > 1e-4)
+    t_hit = jnp.where(hit_ok, t_hit, jnp.inf)
+    best = jnp.argmin(t_hit, axis=0)                             # (H, W)
     t_best = t_hit.min(axis=0)
-    t_best = np.where(np.isfinite(t_best), t_best, 0.0).astype(np.float32)
+    t_best = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
 
     hit_pt = origin + dirs_w * t_best[..., None]
     # rays are scaled so dirs_cam.z == 1, hence t IS the camera z-depth
     z_depth = t_best
     seed = seeds[best]
-    checker = (np.floor(hit_pt[..., 0] / 0.5) + np.floor(hit_pt[..., 1] / 0.5)
-               + np.floor(hit_pt[..., 2] / 0.5)) % 2.0
-    base_r = 0.25 + 0.5 * np.abs(np.sin(seed * 2.1 + 1.0))
-    base_g = 0.25 + 0.5 * np.abs(np.sin(seed * 3.7 + 2.0))
-    base_b = 0.25 + 0.5 * np.abs(np.sin(seed * 5.3 + 3.0))
+    checker = (jnp.floor(hit_pt[..., 0] / 0.5)
+               + jnp.floor(hit_pt[..., 1] / 0.5)
+               + jnp.floor(hit_pt[..., 2] / 0.5)) % 2.0
+    base_r = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 2.1 + 1.0))
+    base_g = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 3.7 + 2.0))
+    base_b = 0.25 + 0.5 * jnp.abs(jnp.sin(seed * 5.3 + 3.0))
     shade = 0.75 + 0.25 * checker
-    stripes = 0.85 + 0.15 * np.sin(hit_pt[..., 0] * 7.0) * np.sin(
+    stripes = 0.85 + 0.15 * jnp.sin(hit_pt[..., 0] * 7.0) * jnp.sin(
         hit_pt[..., 2] * 7.0)
-    rgb = np.stack([base_r * shade * stripes, base_g * shade,
-                    base_b * (1.25 - 0.25 * checker)], axis=-1)
-    rgb = np.clip(rgb, 0.0, 1.0).astype(np.float32)
-    return rgb, z_depth, best
+    rgb = jnp.stack([base_r * shade * stripes, base_g * shade,
+                     base_b * (1.25 - 0.25 * checker)], axis=-1)
+    return jnp.clip(rgb, 0.0, 1.0), z_depth, best
+
+
+def _raycast(boxes: _Boxes, c2w, camera: Camera):
+    """Per-pixel nearest-hit AABB raycast.  Returns (rgb, z_depth, hit_id)
+    as numpy (host-side observations, like habitat's)."""
+    out = _raycast_device(
+        jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
+        jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
+        jnp.asarray(np.asarray(c2w, np.float32)), camera)
+    # ONE batched pull: on a tunneled TPU each separate device->host read
+    # pays the full round-trip latency (~tens of ms)
+    rgb, z, best = jax.device_get(out)
+    return rgb.astype(np.float32), z.astype(np.float32), best
 
 
 class FakeSim:

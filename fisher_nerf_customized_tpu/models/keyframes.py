@@ -18,16 +18,37 @@ class KeyframeBuffer:
         self.depths: list[np.ndarray] = []   # (H, W) float32
         self.w2cs: list[np.ndarray] = []     # (4, 4)
         self.ids: list[int] = []
+        # device-resident copies, uploaded ONCE at append (async) — the
+        # mapping window is then stacked on device instead of re-uploading
+        # ~25 MB of keyframes per mapping event (H2D latency dominates on
+        # tunneled TPUs)
+        self._colors_dev: list = []
+        self._depths_dev: list = []
         self.height, self.width = height, width
 
     def __len__(self):
         return len(self.ids)
 
-    def append(self, color, depth, w2c, frame_id: int):
+    def append(self, color, depth, w2c, frame_id: int,
+               color_dev=None, depth_dev=None):
         self.colors.append(np.asarray(color, np.float32))
         self.depths.append(np.asarray(depth, np.float32))
         self.w2cs.append(np.asarray(w2c, np.float32))
         self.ids.append(int(frame_id))
+        self._colors_dev.append(color_dev)
+        self._depths_dev.append(depth_dev)
+
+    def color_dev(self, i: int):
+        import jax.numpy as jnp
+        if self._colors_dev[i] is None:
+            self._colors_dev[i] = jnp.asarray(self.colors[i])
+        return self._colors_dev[i]
+
+    def depth_dev(self, i: int):
+        import jax.numpy as jnp
+        if self._depths_dev[i] is None:
+            self._depths_dev[i] = jnp.asarray(self.depths[i])
+        return self._depths_dev[i]
 
     def stacked_w2cs(self) -> np.ndarray:
         if not self.w2cs:
@@ -43,6 +64,8 @@ class KeyframeBuffer:
         self.depths = [np.asarray(c, np.float32) for c in d["depths"]]
         self.w2cs = [np.asarray(c, np.float32) for c in d["w2cs"]]
         self.ids = [int(i) for i in d["ids"]]
+        self._colors_dev = [None] * len(self.ids)
+        self._depths_dev = [None] * len(self.ids)
 
 
 def select_keyframes_overlap(gt_depth: np.ndarray, w2c: np.ndarray,

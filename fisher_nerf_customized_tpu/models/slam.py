@@ -74,17 +74,25 @@ def _gaussian_rendervars(params: dict, w2c):
     return means_cam, scales, quats, opac
 
 
-def _render_rgbd(camera, settings, params, n_active, w2c, bg_white=False):
+def _render_rgbd(camera, settings, params, n_active, w2c, bg_white=False,
+                 bins=None):
     """Single 6-channel pass: [r, g, b, z, 1, z²] (reference runs two
-    3-channel passes; slam_helpers.py:235 get_depth_and_silhouette)."""
+    3-channel passes; slam_helpers.py:235 get_depth_and_silhouette).
+    With `bins`, blends against a frozen binning table (see
+    ops.rasterize.render_prebinned)."""
+    from ..ops.rasterize import render_prebinned
     means_cam, scales, quats, opac = _gaussian_rendervars(params, w2c)
     z = means_cam[:, 2:3]
     colors = jnp.concatenate(
         [params["rgb_colors"], z, jnp.ones_like(z), z * z], axis=-1)
-    active = jnp.arange(means_cam.shape[0]) < n_active
     bg = jnp.array([1.0, 1, 1, 0, 0, 0]) if bg_white else jnp.zeros(6)
-    out = render(camera, means_cam, scales, quats, opac, colors, bg=bg,
-                 active=active, settings=settings)
+    if bins is not None:
+        out = render_prebinned(camera, means_cam, scales, quats, opac,
+                               colors, bins, bg=bg, settings=settings)
+    else:
+        active = jnp.arange(means_cam.shape[0]) < n_active
+        out = render(camera, means_cam, scales, quats, opac, colors, bg=bg,
+                     active=active, settings=settings)
     img = out["color"][..., :3]
     depth_acc = out["color"][..., 3]
     sil = out["color"][..., 4]
@@ -95,10 +103,10 @@ def _render_rgbd(camera, settings, params, n_active, w2c, bg_white=False):
 
 
 def _mapping_loss(params, n_active, w2c, gt_color, gt_depth, camera,
-                  settings, mc: MappingConfig):
+                  settings, mc: MappingConfig, bins=None):
     """Weighted depth-L1 + (0.8 L1 + 0.2 DSSIM) RGB loss
     (reference slam_helpers.py:23 calc_loss, mapping branch)."""
-    out = _render_rgbd(camera, settings, params, n_active, w2c)
+    out = _render_rgbd(camera, settings, params, n_active, w2c, bins=bins)
     depth = out["depth"]
     mask = (gt_depth > 0) & jnp.isfinite(depth)
     mask = jax.lax.stop_gradient(mask)
@@ -117,44 +125,67 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
                    frame_choices, camera: Camera, settings: RenderSettings,
                    mc: MappingConfig):
     """One fused mapping event: `num_iters` Adam iterations over randomly
-    chosen window keyframes with periodic opacity pruning."""
+    chosen window keyframes with periodic opacity pruning.
+
+    TPU re-design choices vs the reference loop (gaussian.py:727-805):
+      * the tile-binning table is computed ONCE per window frame and
+        frozen for the phase — splats move << 1 px per Adam step, and
+        per-iteration re-binning (which the CUDA reference gets ~free
+        from CUB radix sort) costs ~40% of a TPU iteration including its
+        jax.checkpoint recompute in the backward;
+      * pruning inside the scan is a SOFT kill (opacity clamped to -inf,
+        so alpha = 0, gradients = 0, the slot can never revive — the same
+        fixed point as removal) with ONE compaction after the scan; this
+        keeps the frozen binning table valid and removes the per-prune
+        full-state permutation from the loop.
+    """
     lrs = dict(means3D=mc.lr_means3D, rgb_colors=mc.lr_rgb,
                unnorm_rotations=mc.lr_rots, logit_opacities=mc.lr_logit_op,
                log_scales=mc.lr_log_scales)
     params = state.params()
     opt = adam_init(params)
+    active = state.active
 
-    def loss_fn(p, n_active, w2cs_i, colors_i, depths_i):
+    # frozen per-frame binning tables (B, T, K)
+    from ..ops.binning import TileBins, tile_bin
+    from ..ops.projection import preprocess as _preproc
+    ntx = -(-camera.width // settings.tile_size)
+    nty = -(-camera.height // settings.tile_size)
+
+    def bin_frame(w2c):
+        mcam, scl, qt, _op = _gaussian_rendervars(params, w2c)
+        prep = _preproc(mcam, scl, qt, camera, active=active)
+        b = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                     camera.width, camera.height, settings.tile_size,
+                     settings.max_per_tile)
+        return b.table, b.slot_valid, b.counts, b.overflow
+    tables, svalids, counts_all, overflows = jax.lax.map(bin_frame, kf_w2cs)
+    bin_overflow = jnp.sum(overflows)
+
+    def bins_at(i):
+        return TileBins(table=tables[i], slot_valid=svalids[i],
+                        counts=counts_all[i], overflow=overflows[i],
+                        n_tiles_x=ntx, n_tiles_y=nty)
+
+    def loss_fn(p, w2cs_i, colors_i, depths_i, idx_i):
         # frames_per_iter > 1 is a TPU-native minibatch upgrade over the
         # reference's one-random-frame-per-iteration loop: the mean loss
         # of F frames per Adam step (same total gradient samples in
         # num_iters/F x the launches)
-        def one(w2c, color, depth):
-            loss, aux = _mapping_loss(p, n_active, w2c, color, depth,
-                                      camera, settings, mc)
-            return loss, aux["overflow"]
-        losses, ovs = jax.vmap(one)(w2cs_i, colors_i, depths_i)
-        return jnp.mean(losses), jnp.sum(ovs)
+        def one(w2c, color, depth, i):
+            loss, _aux = _mapping_loss(p, state.n_active, w2c, color, depth,
+                                       camera, settings, mc, bins=bins_at(i))
+            return loss
+        losses = jax.vmap(one)(w2cs_i, colors_i, depths_i, idx_i)
+        return jnp.mean(losses)
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def prune_now(params, ts, n_active, opt, ga, dn):
-        opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
-        keep = opac >= mc.prune_thresh
-        keep = keep & (jnp.arange(keep.shape[0]) < n_active)
-        order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
-        n_new = jnp.sum(keep.astype(jnp.int32))
-        params = {k: v[order] for k, v in params.items()}
-        ts = ts[order]
-        opt = opt._replace(mu={k: v[order] for k, v in opt.mu.items()},
-                           nu={k: v[order] for k, v in opt.nu.items()})
-        return params, ts, n_new, opt, ga[order], dn[order]
+    grad_fn = jax.value_and_grad(loss_fn)
 
     def body(carry, it):
-        params, ts, n_active, opt, ga, dn = carry
+        params, opt, ga, dn = carry
         i = frame_choices[it]                     # (F,) frame indices
-        (loss, overflow), grads = grad_fn(params, n_active, kf_w2cs[i],
-                                          kf_colors[i], kf_depths[i])
+        loss, grads = grad_fn(params, kf_w2cs[i], kf_colors[i],
+                              kf_depths[i], i)
         # densification statistics (reference accumulate_mean2d_gradient)
         gnorm = jnp.linalg.norm(grads["means3D"], axis=-1)
         ga = ga + gnorm
@@ -164,20 +195,24 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
         if mc.prune_enabled:
             do_prune = ((it >= mc.prune_start) & (it <= mc.prune_stop)
                         & (it % mc.prune_every == 0))
-            params, ts, n_active, opt, ga, dn = jax.lax.cond(
-                do_prune, prune_now,
-                lambda p, t, n, o, a, d: (p, t, n, o, a, d),
-                params, ts, n_active, opt, ga, dn)
-        return (params, ts, n_active, opt, ga, dn), (loss, overflow)
+            opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
+            kill = do_prune & active & (opac < mc.prune_thresh)
+            params["logit_opacities"] = jnp.where(
+                kill[:, None], -1e10, params["logit_opacities"])
+        return (params, opt, ga, dn), loss
 
     n_steps = max(mc.num_iters // mc.frames_per_iter, 1)
     zeros_c = jnp.zeros((state.capacity,), jnp.float32)
-    init = (params, state.timestep, state.n_active, opt, zeros_c, zeros_c)
-    (params, ts, n_active, _opt, ga, dn), (losses, overflows) = jax.lax.scan(
+    init = (params, opt, zeros_c, zeros_c)
+    (params, _opt, ga, dn), losses = jax.lax.scan(
         body, init, jnp.arange(n_steps))
-    new_state = state.replace_params(params)._replace(
-        timestep=ts, n_active=n_active)
-    return new_state, losses, ga, dn, jnp.sum(overflows)
+    new_state = state.replace_params(params)
+    if mc.prune_enabled:
+        # one compaction releases exactly the soft-killed slots
+        keep = params["logit_opacities"][:, 0] > -1e9
+        new_state, order = prune_compact(new_state, keep)
+        ga, dn = ga[order], dn[order]
+    return new_state, losses, ga, dn, bin_overflow
 
 
 class TrackingConfig(NamedTuple):
@@ -513,11 +548,14 @@ class GaussianSLAM:
         ds = self.mc.downsample_pcd
         self._ensure_capacity((h // ds) * (w // ds))
 
+        color_dev = jnp.asarray(color)
+        depth_dev = jnp.asarray(depth)
         state, dropped, n_added = _init_first_frame(
-            self.state, jnp.asarray(color), jnp.asarray(depth),
+            self.state, color_dev, depth_dev,
             jnp.asarray(w2c), 10.0 * cell, self.camera, ds)
         self.state = state
-        self.keyframes.append(color, depth, w2c, 0)
+        self.keyframes.append(color, depth, w2c, 0,
+                              color_dev=color_dev, depth_dev=depth_dev)
         self.keyframe_time_indices.append(0)
         self.initialized = True
         return int(n_added)
@@ -536,13 +574,20 @@ class GaussianSLAM:
             w2c = self._track_pose(color, depth)
         self.poses_w2c.append(w2c)
 
+        # upload once (async) — mapping and the keyframe buffer share the
+        # device copies instead of re-uploading per mapping event
+        color_dev = jnp.asarray(color)
+        depth_dev = jnp.asarray(depth)
+
         cfgc = self.cfg
         if time_idx == 0 or (time_idx + 1) % int(cfgc.map_every) == 0:
-            self._mapping_event(color, depth, w2c, time_idx)
+            self._mapping_event(color, depth, w2c, time_idx,
+                                color_dev=color_dev, depth_dev=depth_dev)
 
         if ((time_idx + 1) % int(cfgc.keyframe_every) == 0
                 or time_idx == int(cfgc.num_frames) - 2):
-            self.keyframes.append(color, depth, w2c, time_idx)
+            self.keyframes.append(color, depth, w2c, time_idx,
+                                  color_dev=color_dev, depth_dev=depth_dev)
             self.keyframe_time_indices.append(time_idx)
 
         self.frame_idx = time_idx
@@ -582,16 +627,33 @@ class GaussianSLAM:
         w2c[:3, 3] = np.asarray(best_t)
         return w2c
 
-    def _mapping_event(self, color, depth, w2c, time_idx):
+    def _flush_pending_bump(self):
+        """Apply a deferred overflow check (recorded as device scalars at
+        the END of the previous mapping event; pulling them immediately
+        would block the host on the whole mapping computation)."""
+        if getattr(self, "_pending_bump", None) is None:
+            return
+        overflow, n_renders = self._pending_bump
+        self._pending_bump = None
+        self._maybe_bump_tile_capacity(int(overflow), n_renders)
+
+    def _mapping_event(self, color, depth, w2c, time_idx,
+                       color_dev=None, depth_dev=None):
         cfgc = self.cfg
+        self._flush_pending_bump()
+        if color_dev is None:
+            color_dev = jnp.asarray(color)
+        if depth_dev is None:
+            depth_dev = jnp.asarray(depth)
         if bool(cfgc.mapping.add_new_gaussians) and time_idx > 0:
             ds = self.mc.downsample_pcd
             self._ensure_capacity(
                 (self.camera.height // ds) * (self.camera.width // ds))
             self.state, dropped, _added, overflow = _densify(
-                self.state, jnp.asarray(color), jnp.asarray(depth),
+                self.state, color_dev, depth_dev,
                 jnp.asarray(w2c), float(time_idx), self.camera,
                 self.settings, self.mc)
+            dropped, overflow = jax.device_get((dropped, overflow))
             if int(dropped) > 0:   # capacity guard tripped mid-event
                 self._ensure_capacity(int(dropped) + 1024)
             if int(overflow) > 0:
@@ -604,9 +666,14 @@ class GaussianSLAM:
             rng=self.rng)
         if len(self.keyframes) > 0:
             selected.append(len(self.keyframes) - 1)
-        # current frame gets index -1 (appended below as the last window slot)
-        win_colors = [self.keyframes.colors[i] for i in selected] + [color]
-        win_depths = [self.keyframes.depths[i] for i in selected] + [depth]
+        # window stacked ON DEVICE from per-keyframe device copies (the
+        # reference keeps keyframes on the GPU too, gaussian.py:810-826);
+        # re-uploading the ~25 MB window per event costs more in H2D
+        # latency than the whole mapping compute on a tunneled TPU
+        win_colors = [self.keyframes.color_dev(i) for i in selected] \
+            + [color_dev]
+        win_depths = [self.keyframes.depth_dev(i) for i in selected] \
+            + [depth_dev]
         win_w2cs = [self.keyframes.w2cs[i] for i in selected] + [w2c]
 
         b = len(win_colors)
@@ -625,15 +692,16 @@ class GaussianSLAM:
             0, min(b, b_max), size=(n_steps, self.mc.frames_per_iter))
         state, losses, grad_accum, denom, overflow = _mapping_phase(
             self.state,
-            jnp.asarray(np.stack(win_colors)),
-            jnp.asarray(np.stack(win_depths)),
+            jnp.stack(win_colors),
+            jnp.stack(win_depths),
             jnp.asarray(np.stack(win_w2cs)),
             jnp.asarray(choices, jnp.int32),
             self.camera, self.settings, self.mc)
         self.state = state
-        self.last_losses = np.asarray(losses)
-        self._maybe_bump_tile_capacity(int(overflow),
-                                       n_steps * self.mc.frames_per_iter)
+        self.last_losses = losses        # device array; pulled lazily
+        # overflow is per-frame binning truncation (bins are frozen for
+        # the phase), so the renders count is the window size
+        self._pending_bump = (overflow, b_max)
 
         if bool(cfgc.mapping.use_gaussian_splatting_densification):
             # gradient clone/split densification (reference

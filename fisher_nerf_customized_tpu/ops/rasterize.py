@@ -141,6 +141,36 @@ def _tiles_to_image(buf, nty, ntx, ts, height, width):
     return img[:height, :width]
 
 
+def render_prebinned(camera: Camera, means_cam, scales, quats, opacities,
+                     colors, bins, bg=None,
+                     settings: RenderSettings = RenderSettings()):
+    """Render with a FROZEN tile-binning table.
+
+    The CUDA reference re-sorts every optimizer iteration because its CUB
+    radix sort is nearly free (rasterizer_impl.cu:277-323); on TPU the
+    binning pass (plus its jax.checkpoint recompute in the backward) is a
+    large fraction of a mapping iteration, while splats move << 1 px per
+    Adam step — so the mapping phase bins once per window frame and blends
+    against live (differentiable) preprocess outputs."""
+    st = settings
+    prep = preprocess(means_cam, scales, quats, camera)
+    t_final, c_acc, med = _blend_tiles(camera, st, prep, bins, opacities,
+                                       colors)
+    cch = colors.shape[-1]
+    if bg is None:
+        bg = jnp.zeros((cch,), jnp.float32)
+    out = c_acc + t_final[:, :, None] * bg[None, None, :]
+    ts = st.tile_size
+    img = _tiles_to_image(out, bins.n_tiles_y, bins.n_tiles_x, ts,
+                          camera.height, camera.width)
+    depth = _tiles_to_image(med, bins.n_tiles_y, bins.n_tiles_x, ts,
+                            camera.height, camera.width)
+    final_t = _tiles_to_image(t_final, bins.n_tiles_y, bins.n_tiles_x, ts,
+                              camera.height, camera.width)
+    return dict(color=img, depth=depth, final_t=final_t, radii=prep.radius,
+                overflow=bins.overflow)
+
+
 @functools.partial(jax.jit, static_argnames=("camera", "settings"))
 def render(camera: Camera, means_cam, scales, quats, opacities, colors,
            bg=None, active=None, settings: RenderSettings = RenderSettings()):
