@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Behavioral-parity quality check (the QUALITY.md table).
+
+Runs the FisherRF (gaussians_based) and FBE (frontier) policies on the
+SAME FakeSim scene/seed at the blessed eccv operating point and reports
+3D completeness/acc/FPR (5 cm), AUC, 2D coverage, PSNR, and wall time.
+The expected relationship (reference data/metric_data curves, BASELINE.md):
+FisherRF >= FBE on completeness and AUC.
+
+Usage:  python scripts/quality_check.py [--steps 240] [--policies a,b]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build(policy: str, steps: int, seed: int = 11):
+    from fisher_nerf_customized_tpu.config import get_cfg_defaults
+    from fisher_nerf_customized_tpu.engine import ActiveMapper
+    from fisher_nerf_customized_tpu.envs.fake_sim import BoxScene, FakeSim
+    from fisher_nerf_customized_tpu.ops.camera import Camera
+
+    cfg = get_cfg_defaults()
+    cfg.workdir = "/tmp/fnc_quality"
+    cfg.run_name = f"q_{policy}"
+    cfg.policy.name = policy
+    cfg.num_frames = steps
+    cfg.map_every = 10
+    cfg.keyframe_every = 4
+    cfg.downsample_pcd = 4
+    cfg.forward_step_size = 0.065
+    cfg.turn_angle = 10.0
+    cfg.mapping.num_iters = 120
+    cfg.mapping.prune_gaussians = True
+    cfg.mapping.pruning_dict.prune_every = 40
+    cfg.mapping.pruning_dict.removal_opacity_threshold = 1e-4
+    cfg.policy.planning_queue_size = 30
+    cfg.explore.sample_view_num = 256
+    cfg.explore.cell_size = 0.05
+    cfg.explore.sample_range = 1.0
+    cfg.explore.min_range = 0.5
+    cfg.explore.frontier_select_method = "combined"
+    cfg.explore.centering = True
+    cfg.H_reg_lambda = 1e-6
+    cfg.path_end_weight = 30.0
+    cfg.tpu.pose_chunk = 32
+
+    cam = Camera(fx=128.0, fy=128.0, cx=128.0, cy=128.0,
+                 width=256, height=256)
+    scene = BoxScene.default(seed=seed, n_obstacles=8, room=5.0)
+    sim = FakeSim(scene, cam, forward_step=0.065, turn_angle=10.0, seed=0)
+    mapper = ActiveMapper(cfg, sim, scene=scene, seed=0)
+    return mapper, scene
+
+
+def run_policy(policy: str, steps: int):
+    from fisher_nerf_customized_tpu.engine.eval import eval_navigation
+
+    mapper, scene = build(policy, steps)
+    gt = scene.sample_surface_points(100000)
+    t0 = time.perf_counter()
+    result = mapper.test_navigation(eval_every=0, recon_gt_points=gt)
+    wall = time.perf_counter() - t0
+    ev = eval_navigation(mapper.slam, mapper.sim, scene, n_poses=60,
+                         seed=42)
+    from fisher_nerf_customized_tpu.engine.eval import (
+        accuracy_comp_ratio_from_pcl)
+    recon = accuracy_comp_ratio_from_pcl(mapper.global_pcl.get(), gt, 0.05)
+    auc = mapper.metrics.auc("completeness_ratio") \
+        if hasattr(mapper.metrics, "auc") else None
+    return dict(policy=policy, steps=result["steps"],
+                done=result["done_reason"],
+                completeness=round(recon["completeness_ratio"], 2),
+                acc_m=round(recon["acc_distance"], 4),
+                fpr=round(recon["fpr"], 2),
+                cov2d=round(result.get("coverage_2d_pct", float("nan")), 1),
+                psnr=round(float(ev["psnr"]), 2),
+                auc=None if auc is None else round(float(auc), 2),
+                wall_s=round(wall, 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--policies", default="gaussians_based,frontier")
+    args = ap.parse_args()
+    from fisher_nerf_customized_tpu.utils.jax_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
+    rows = [run_policy(p.strip(), args.steps)
+            for p in args.policies.split(",")]
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
