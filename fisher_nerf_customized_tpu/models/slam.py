@@ -815,7 +815,8 @@ class GaussianSLAM:
             s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
                              self.camera, self.fisher_settings)
             chunks.append((s, n_real))
-        scores = np.concatenate([np.asarray(s)[:n] for s, n in chunks])
+        pulled = jax.device_get([s for s, _ in chunks])   # ONE round trip
+        scores = np.concatenate([s[:n] for s, (_, n) in zip(pulled, chunks)])
         return jnp.asarray(scores), jnp.asarray(poses)
 
     def gs_pts_cnt(self, random_gaussian_params=None):
@@ -829,13 +830,17 @@ class GaussianSLAM:
     def save(self, time_idx: int):
         os.makedirs(self.eval_dir, exist_ok=True)
         path = os.path.join(self.eval_dir, f"params{time_idx}.npz")
+        # ONE batched pull of the whole state (per-array np.asarray pulls
+        # each pay a device round trip)
+        ts, params = jax.device_get((self.state.timestep,
+                                     self.state.params()))
         np.savez_compressed(
             path,
             n_active=self.n_active,
-            timestep=np.asarray(self.state.timestep),
+            timestep=ts,
             poses_w2c=np.stack(self.poses_w2c),
             keyframe_time_indices=np.asarray(self.keyframe_time_indices),
-            **{k: np.asarray(v) for k, v in self.state.params().items()})
+            **params)
         np.save(os.path.join(self.eval_dir,
                              f"keyframe_time_indices{time_idx}.npy"),
                 np.asarray(self.keyframe_time_indices))
