@@ -331,6 +331,18 @@ class ActiveMapper:
                 self.sim.dynamic_object.moving_randomly()
                 obs = self.sim.get_observations()
             obj_mask = self._object_mask(obs)
+            # opportunistic prefetch: when the action queue is non-empty
+            # the next action is already decided, so the next frame's
+            # raycast is dispatched BEFORE the heavy mapping dispatches
+            # and computes concurrently with them (sim.step then only
+            # pays the pull)
+            if (self.traj_actions is None and self.queue
+                    and hasattr(self.sim, "prefetch")):
+                self.sim.prefetch(self.queue[0])
+            elif (self.traj_actions is not None
+                    and t < len(self.traj_actions)
+                    and hasattr(self.sim, "prefetch")):
+                self.sim.prefetch(int(self.traj_actions[t]))
             with self.timer.phase("tracking_mapping"):
                 self.slam.track_rgbd(obs["rgb"], obs["depth"],
                                      gt_w2c=np.linalg.inv(c2w))

@@ -313,16 +313,48 @@ class FakeSim:
             obs["semantic"] = sem.astype(np.int32)
         return obs
 
-    def step(self, action_id: int):
+    def _next_pose(self, action_id: int):
         next_c2w = compute_next_campos(self.c2w, int(action_id),
                                        self.forward_step, self.turn_angle)
-        self.collided_last = False
+        collided = False
         if action_id == 1:
             nxt = next_c2w[:3, 3]
             if not self.scene.is_navigable((nxt[0], 0.0, nxt[2])):
-                self.collided_last = True
+                collided = True
                 next_c2w = self.c2w      # blocked: stay (habitat-style stop)
-        self.c2w = np.asarray(next_c2w, np.float32)
+        return np.asarray(next_c2w, np.float32), collided
+
+    def prefetch(self, action_id: int):
+        """Dispatch the NEXT frame's raycast asynchronously (the action is
+        already known whenever the planner's queue is non-empty).  The
+        episode driver calls this before its heavy device dispatches, so
+        the observation is computed concurrently and `step` only pays the
+        pull.  No sim state is mutated until `step` resolves it."""
+        if self.dynamic_object is not None:
+            return            # object state may still change this frame
+        next_c2w, collided = self._next_pose(int(action_id))
+        boxes, obj_idx = self._boxes_now()
+        out = _raycast_device(
+            jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
+            jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
+            jnp.asarray(next_c2w), self.camera)
+        self._prefetched = (int(action_id), next_c2w, collided, out, obj_idx)
+
+    def step(self, action_id: int):
+        pf = getattr(self, "_prefetched", None)
+        self._prefetched = None
+        if (pf is not None and pf[0] == int(action_id)
+                and self.dynamic_object is None):
+            _a, next_c2w, collided, out, obj_idx = pf
+            self.c2w = next_c2w
+            self.collided_last = collided
+            rgb, z, best = jax.device_get(out)
+            obs = dict(rgb=rgb.astype(np.float32),
+                       depth=z.astype(np.float32), c2w=self.c2w.copy())
+            return obs
+        next_c2w, collided = self._next_pose(int(action_id))
+        self.c2w = next_c2w
+        self.collided_last = collided
         return self.get_observations()
 
     def set_pose(self, c2w):
