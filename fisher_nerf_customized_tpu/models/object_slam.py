@@ -37,10 +37,10 @@ from .slam import (GaussianSLAM, MappingConfig, _gaussian_rendervars,
 
 
 def _masked_mapping_loss(params, n_active, w2c, gt_color, gt_depth, obj_mask,
-                         camera, settings, mc: MappingConfig):
+                         camera, settings, mc: MappingConfig, bins=None):
     """Mask-restricted photometric + depth loss (reference
     slam_helpers.py:46 calc_loss_mask, mapping branch)."""
-    out = _render_rgbd(camera, settings, params, n_active, w2c)
+    out = _render_rgbd(camera, settings, params, n_active, w2c, bins=bins)
     depth = out["depth"]
     m = obj_mask & (gt_depth > 0) & jnp.isfinite(depth)
     m = jax.lax.stop_gradient(m)
@@ -58,16 +58,38 @@ def _masked_mapping_loss(params, n_active, w2c, gt_color, gt_depth, obj_mask,
 def _object_mapping_phase(state, kf_colors, kf_depths, kf_w2cs, kf_masks,
                           frame_choices, camera: Camera, settings, mc):
     """Masked analog of models/slam._mapping_phase (no in-loop prune; the
-    object path prunes by mask after the phase)."""
+    object path prunes by mask after the phase).  Binning tables are
+    frozen per window frame for the phase, like the scene mapping."""
     lrs = dict(means3D=mc.lr_means3D, rgb_colors=mc.lr_rgb,
                unnorm_rotations=mc.lr_rots, logit_opacities=mc.lr_logit_op,
                log_scales=mc.lr_log_scales)
     params = state.params()
     opt = adam_init(params)
+    active = state.active
 
-    def loss_fn(p, w2c, color, depth, mask):
+    from ..ops.binning import TileBins, tile_bin
+    from ..ops.projection import preprocess as _preproc
+    ntx = -(-camera.width // settings.tile_size)
+    nty = -(-camera.height // settings.tile_size)
+
+    def bin_frame(w2c):
+        mcam, scl, qt, _op = _gaussian_rendervars(params, w2c)
+        prep = _preproc(mcam, scl, qt, camera, active=active)
+        b = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                     camera.width, camera.height, settings.tile_size,
+                     settings.max_per_tile)
+        return b.table, b.slot_valid, b.counts, b.overflow
+    tables, svalids, counts_all, overflows = jax.lax.map(bin_frame, kf_w2cs)
+
+    def bins_at(i):
+        return TileBins(table=tables[i], slot_valid=svalids[i],
+                        counts=counts_all[i], overflow=overflows[i],
+                        n_tiles_x=ntx, n_tiles_y=nty)
+
+    def loss_fn(p, w2c, color, depth, mask, i):
         return _masked_mapping_loss(p, state.n_active, w2c, color, depth,
-                                    mask, camera, settings, mc)
+                                    mask, camera, settings, mc,
+                                    bins=bins_at(i))
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -75,7 +97,7 @@ def _object_mapping_phase(state, kf_colors, kf_depths, kf_w2cs, kf_masks,
         params, opt = carry
         i = frame_choices[it]
         (loss, _aux), grads = grad_fn(params, kf_w2cs[i], kf_colors[i],
-                                      kf_depths[i], kf_masks[i])
+                                      kf_depths[i], kf_masks[i], i)
         params, opt = adam_step(opt, params, grads, lrs, eps=1e-15)
         return (params, opt), loss
 
