@@ -161,3 +161,53 @@ def test_overflow_reported_when_capacity_too_small():
     small = RenderSettings(tile_size=16, max_per_tile=64, chunk=32)
     out = render(CAM, means, scales, quats, opac, colors, settings=small)
     assert int(out["overflow"]) > 0
+
+
+def test_render_prebinned_matches_render():
+    """render_prebinned with the bins from the SAME params must match
+    render() exactly (the frozen-binning mapping phase relies on this
+    as its iteration-0 equivalence)."""
+    from fisher_nerf_customized_tpu.ops.binning import tile_bin
+    from fisher_nerf_customized_tpu.ops.projection import preprocess
+    from fisher_nerf_customized_tpu.ops.rasterize import render_prebinned
+
+    means, scales, quats, opac, colors = make_scene(n=200, seed=5)
+    active = jnp.arange(200) < 150       # some inactive tail slots
+    ref = render(CAM, means, scales, quats, opac, colors, active=active,
+                 settings=ST)
+    prep = preprocess(means, scales, quats, CAM, active=active)
+    bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                    CAM.width, CAM.height, ST.tile_size, ST.max_per_tile)
+    got = render_prebinned(CAM, means, scales, quats, opac, colors, bins,
+                           settings=ST)
+    # atol 1e-5: the two programs compile separately, so f32 fusion /
+    # reassociation differs in the last bits
+    np.testing.assert_allclose(np.asarray(got["color"]),
+                               np.asarray(ref["color"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["final_t"]),
+                               np.asarray(ref["final_t"]), atol=1e-5)
+
+
+def test_render_prebinned_differentiable_wrt_params():
+    """Gradients flow through live preprocess outputs under frozen bins."""
+    from fisher_nerf_customized_tpu.ops.binning import tile_bin
+    from fisher_nerf_customized_tpu.ops.projection import preprocess
+    from fisher_nerf_customized_tpu.ops.rasterize import render_prebinned
+
+    means, scales, quats, opac, colors = make_scene(n=80, seed=6)
+    prep = preprocess(means, scales, quats, CAM)
+    bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                    CAM.width, CAM.height, ST.tile_size, ST.max_per_tile)
+
+    def loss(m, o, c):
+        out = render_prebinned(CAM, m, scales, quats, o, c, bins,
+                               settings=ST)
+        return jnp.sum(out["color"] ** 2)
+
+    g_m, g_o, g_c = jax.grad(loss, argnums=(0, 1, 2))(means, opac, colors)
+    assert np.isfinite(np.asarray(g_m)).all()
+    assert float(jnp.abs(g_m).sum()) > 0
+    assert float(jnp.abs(g_o).sum()) > 0
+    assert float(jnp.abs(g_c).sum()) > 0
