@@ -214,6 +214,15 @@ def get_cfg_defaults() -> ConfigNode:
         capacity=32768,            # initial Gaussian-state slot capacity
         capacity_growth=2,         # grow factor when slots run out
         pose_chunk=32,             # candidate poses evaluated per XLA launch
+        pipeline_planning=False,   # opt-in: dispatch candidate scoring at
+                                   # a queue-low watermark. Measured ~zero
+                                   # gain on a saturated device (scoring
+                                   # queues behind mapping) and the
+                                   # 2-step-stale frontiers perturb
+                                   # trajectories (bench coverage 69.95 ->
+                                   # 65.71); useful only when planning is
+                                   # host-bound
+        plan_watermark=2,
         mapping_frames_per_iter=1,  # >1: minibatch mapping (TPU upgrade;
                                     # 1 = reference one-frame-per-iter)
         fisher_mode="sq_chain",    # sq_chain | hutchinson

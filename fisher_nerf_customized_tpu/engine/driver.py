@@ -71,6 +71,10 @@ class ActiveMapper:
         self.checkpoint_interval = int(cfg.checkpoint_interval)
         self.stuck_count = 0
         self.last_goal = None
+        # pipelined planning (stage-1 dispatch at a queue-low watermark)
+        self.pipeline_planning = bool(cfg.tpu.get("pipeline_planning", False))
+        self.plan_watermark = int(cfg.tpu.get("plan_watermark", 2))
+        self._plan_prep = None
         self.step_log: list[dict] = []
         self.cm = get_cluster_manager()
         self.timer = StepTimer()
@@ -163,24 +167,51 @@ class ActiveMapper:
         return m
 
     # -- planning -----------------------------------------------------------
+    def prepare_planning(self, current_agent_pose: np.ndarray, t: int):
+        """Pipelined planning stage 1 (no reference analog — the reference
+        plans synchronously when its action queue empties): at a queue-low
+        watermark, generate frontier candidates and DISPATCH their Fisher
+        scoring; the device computes while the remaining queued actions
+        execute.  plan_best_path consumes the finish closure when the
+        queue actually empties."""
+        if self.policy_name == "frontier" or self._plan_prep is not None:
+            return
+        slam, planner = self.slam, self.planner
+        if bool(self.cfg.explore.prune_invisible):
+            slam.prune_invisible()
+        try:
+            finish = planner.global_planning(
+                slam.pose_eval_async, slam.gaussian_points, None,
+                expansion=1, agent_pose=current_agent_pose[:3, 3],
+                last_goal=self.last_goal, defer_scores=True)
+        except (LocalizationError, NoFrontierError):
+            return
+        if finish is not None:
+            self._plan_prep = (t, finish)
+
     def plan_best_path(self, current_agent_pose: np.ndarray, expansion: int,
                        t: int):
         """(reference tester:1596-1736) global candidates -> A* + actions ->
         batched path EIG -> best action sequence."""
         slam, planner = self.slam, self.planner
-        if bool(self.cfg.explore.prune_invisible):
-            # drop Gaussians invisible from every keyframe before planning
-            # (reference gaussian.py:1318-1326, explore.prune_invisible)
-            slam.prune_invisible()
-        gaussian_points = slam.gaussian_points
 
-        if self.policy_name == "frontier":
-            pose_fn = None
+        prep = self._plan_prep
+        self._plan_prep = None
+        if (prep is not None and expansion == 1
+                and t - prep[0] <= self.plan_watermark + 2):
+            global_points, eigs, _rgp = prep[1]()
         else:
-            pose_fn = slam.pose_eval
-        global_points, eigs, _rgp = planner.global_planning(
-            pose_fn, gaussian_points, None, expansion=expansion,
-            agent_pose=current_agent_pose[:3, 3], last_goal=self.last_goal)
+            if bool(self.cfg.explore.prune_invisible):
+                # drop Gaussians invisible from every keyframe before
+                # planning (gaussian.py:1318-1326, explore.prune_invisible)
+                slam.prune_invisible()
+            pose_fn = None if self.policy_name == "frontier" \
+                else slam.pose_eval
+            global_points, eigs, _rgp = planner.global_planning(
+                pose_fn, slam.gaussian_points, None, expansion=expansion,
+                agent_pose=current_agent_pose[:3, 3],
+                last_goal=self.last_goal)
+        gaussian_points = slam.gaussian_points
         if global_points is None:
             return None, None
         global_points = np.asarray(global_points)
@@ -367,6 +398,10 @@ class ActiveMapper:
                     break
                 action = int(self.traj_actions[t])
             else:
+                if (self.pipeline_planning and self.upen is None
+                        and 0 < len(self.queue) <= self.plan_watermark):
+                    with self.timer.phase("planning"):
+                        self.prepare_planning(c2w, t)
                 try:
                     while not self.queue:
                         with self.timer.phase("planning"):

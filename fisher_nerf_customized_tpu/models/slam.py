@@ -794,16 +794,17 @@ class GaussianSLAM:
             h_train = h_train + jnp.sum(h, axis=0)
         return h_train
 
-    def pose_eval(self, poses, random_gaussian_params=None):
-        """EIG score per candidate c2w pose: sum(H_pose / (H_train + 0.1))
-        (gaussian.py:1354-1375), batched over pose chunks."""
+    def pose_eval_async(self, poses, random_gaussian_params=None):
+        """Dispatch EIG scoring for all candidate poses and return a
+        `resolve()` closure.  The device computes while the episode keeps
+        executing (pipelined planning); `resolve` pays one round trip."""
         poses = np.asarray(poses, np.float32)
         h_train = self.compute_H_train()
         h_train_inv = 1.0 / (h_train + 0.1)
         w2cs = np.linalg.inv(poses)
         chunks = []
         ck = self.pose_chunk
-        # dispatch ALL chunks asynchronously, sync once at the end (each
+        # dispatch ALL chunks asynchronously, sync once at resolve (each
         # early np.asarray would pay a full device round-trip)
         for i in range(0, len(w2cs), ck):
             chunk = w2cs[i:i + ck]
@@ -815,9 +816,18 @@ class GaussianSLAM:
             s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
                              self.camera, self.fisher_settings)
             chunks.append((s, n_real))
-        pulled = jax.device_get([s for s, _ in chunks])   # ONE round trip
-        scores = np.concatenate([s[:n] for s, (_, n) in zip(pulled, chunks)])
-        return jnp.asarray(scores), jnp.asarray(poses)
+
+        def resolve():
+            pulled = jax.device_get([s for s, _ in chunks])  # ONE round trip
+            scores = np.concatenate(
+                [s[:n] for s, (_, n) in zip(pulled, chunks)])
+            return jnp.asarray(scores), jnp.asarray(poses)
+        return resolve
+
+    def pose_eval(self, poses, random_gaussian_params=None):
+        """EIG score per candidate c2w pose: sum(H_pose / (H_train + 0.1))
+        (gaussian.py:1354-1375), batched over pose chunks."""
+        return self.pose_eval_async(poses, random_gaussian_params)()
 
     def gs_pts_cnt(self, random_gaussian_params=None):
         return max(self.n_active, 1)

@@ -299,9 +299,16 @@ class AstarPlanner:
 
     def global_planning(self, pose_evaluation_fn=None, gaussian_points=None,
                         goal_proposal_fn=None, expansion=1, visualize=False,
-                        agent_pose=None, last_goal=None, slam=None):
+                        agent_pose=None, last_goal=None, slam=None,
+                        defer_scores=False):
         """Frontier-driven candidate generation + EIG scoring + top-20
-        (reference astar.py:843-1000)."""
+        (reference astar.py:843-1000).
+
+        With `defer_scores=True`, `pose_evaluation_fn` must be the ASYNC
+        variant (returns a resolve closure); the method then returns a
+        single `finish()` closure producing the usual
+        (top-20 poses, scores, random_gaussian_params) — the device scores
+        candidates while the episode keeps executing."""
         candidate_pos, free_space = self.build_frontiers(gaussian_points)
         use_frontier = candidate_pos is not None
         if pose_evaluation_fn is None and not use_frontier:
@@ -348,22 +355,33 @@ class AstarPlanner:
                               np.concatenate([candidate_pose, random_pose]))
 
         if len(candidate_pose) == 0:
+            if defer_scores:
+                return None
             return None, None, random_gaussian_params
 
         if pose_evaluation_fn is None:
-            scores, poses = self.pose_eval(candidate_pose)
+            resolve = lambda: self.pose_eval(candidate_pose)  # noqa: E731
         else:
-            scores, poses = pose_evaluation_fn(candidate_pose,
-                                               random_gaussian_params)
-        scores = np.asarray(scores)
-        poses = np.asarray(poses)
+            resolve = pose_evaluation_fn(candidate_pose,
+                                         random_gaussian_params)
+            if not callable(resolve):     # sync evaluator returned scores
+                _r = resolve
+                resolve = lambda: _r      # noqa: E731
 
-        topk = 20
-        order = np.argsort(-scores, kind="stable")[:topk]
-        poses, scores = poses[order], scores[order]
-        self.previous_candidates = poses
-        return (jnp.asarray(poses), jnp.asarray(scores),
-                random_gaussian_params)
+        def finish():
+            scores, poses = resolve()
+            scores = np.asarray(scores)
+            poses = np.asarray(poses)
+            topk = 20
+            order = np.argsort(-scores, kind="stable")[:topk]
+            poses, scores = poses[order], scores[order]
+            self.previous_candidates = poses
+            return (jnp.asarray(poses), jnp.asarray(scores),
+                    random_gaussian_params)
+
+        if defer_scores:
+            return finish
+        return finish()
 
     def global_object_planning(self, pose_evaluation_fn=None,
                                gaussian_points=None, gaussian_points_scene=None,

@@ -189,3 +189,15 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     r1 = np.asarray(m1.slam.render_at_pose(obs["c2w"])["render"])
     r2 = np.asarray(m2.slam.render_at_pose(obs["c2w"])["render"])
     np.testing.assert_allclose(r1, r2, atol=1e-5)
+
+
+def test_pipeline_planning_optin(tmp_path):
+    """pipeline_planning=True: stage-1 dispatch at the queue watermark and
+    the finish-closure consumption must produce a working episode."""
+    cfg = episode_cfg(tmp_path, policy="gaussians_based", steps=16)
+    cfg.tpu.pipeline_planning = True
+    sim, scene = make_sim()
+    mapper = ActiveMapper(cfg, sim, scene=scene, seed=0)
+    result = mapper.test_navigation(eval_every=0)
+    assert result["steps"] >= 10
+    assert mapper.slam.n_active > 0
