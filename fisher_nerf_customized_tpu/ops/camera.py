@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class Camera(NamedTuple):
@@ -26,9 +27,11 @@ class Camera(NamedTuple):
 
     @property
     def intrinsics(self):
-        return jnp.array([[self.fx, 0.0, self.cx],
-                          [0.0, self.fy, self.cy],
-                          [0.0, 0.0, 1.0]], dtype=jnp.float32)
+        # HOST array: consumers read it per step; a jnp constant here
+        # costs a device round trip on every np.asarray of it
+        return np.array([[self.fx, 0.0, self.cx],
+                         [0.0, self.fy, self.cy],
+                         [0.0, 0.0, 1.0]], dtype=np.float32)
 
 
 def camera_from_intrinsics(K, width: int, height: int, near: float = 0.2,
