@@ -74,3 +74,38 @@ def test_navigability_and_surface_sampling():
     rng = np.random.default_rng(0)
     nav = scene.sample_navigable(rng, 50)
     assert all(scene.is_navigable((x, 0.0, z)) for x, z in nav)
+
+
+def _mk():
+    scene = BoxScene(room_lo=(-2, 0, -2), room_hi=(2, 2.5, 2), obstacles=[])
+    return FakeSim(scene, CAM, forward_step=0.1, turn_angle=30.0)
+
+
+def test_prefetch_matches_plain_step():
+    """sim.prefetch(a) followed by step(a) must produce identical
+    observations and pose to a plain step(a)."""
+    sim_a = _mk()
+    sim_b = _mk()
+    sim_a.reset(start_xz=(0.2, -0.1), yaw=0.3)
+    sim_b.reset(start_xz=(0.2, -0.1), yaw=0.3)
+    for action in (2, 1, 1, 3, 1):
+        sim_a.prefetch(action)
+        oa = sim_a.step(action)
+        ob = sim_b.step(action)
+        np.testing.assert_allclose(oa["c2w"], ob["c2w"], atol=1e-6)
+        np.testing.assert_allclose(oa["depth"], ob["depth"], atol=1e-5)
+        np.testing.assert_allclose(oa["rgb"], ob["rgb"], atol=1e-5)
+        assert sim_a.collided_last == sim_b.collided_last
+
+
+def test_prefetch_mismatched_action_falls_back():
+    """A stale prefetch (different action executed) must not leak into
+    the step result."""
+    sim_a = _mk()
+    sim_b = _mk()
+    sim_a.reset(); sim_b.reset()
+    sim_a.prefetch(1)          # prefetch forward...
+    oa = sim_a.step(2)         # ...but turn left instead
+    ob = sim_b.step(2)
+    np.testing.assert_allclose(oa["c2w"], ob["c2w"], atol=1e-6)
+    np.testing.assert_allclose(oa["depth"], ob["depth"], atol=1e-5)
