@@ -197,30 +197,33 @@ class ActiveMapper:
 
         prep = self._plan_prep
         self._plan_prep = None
-        if (prep is not None and expansion == 1
-                and t - prep[0] <= self.plan_watermark + 2):
-            global_points, eigs, _rgp = prep[1]()
-        else:
-            if bool(self.cfg.explore.prune_invisible):
-                # drop Gaussians invisible from every keyframe before
-                # planning (gaussian.py:1318-1326, explore.prune_invisible)
-                slam.prune_invisible()
-            pose_fn = None if self.policy_name == "frontier" \
-                else slam.pose_eval
-            global_points, eigs, _rgp = planner.global_planning(
-                pose_fn, slam.gaussian_points, None, expansion=expansion,
-                agent_pose=current_agent_pose[:3, 3],
-                last_goal=self.last_goal)
-        gaussian_points = slam.gaussian_points
-        if global_points is None:
-            return None, None
-        global_points = np.asarray(global_points)
-        eigs = np.asarray(eigs)
+        with self.timer.phase("plan.global"):
+            if (prep is not None and expansion == 1
+                    and t - prep[0] <= self.plan_watermark + 2):
+                global_points, eigs, _rgp = prep[1]()
+            else:
+                if bool(self.cfg.explore.prune_invisible):
+                    # drop Gaussians invisible from every keyframe before
+                    # planning (gaussian.py:1318-1326, explore.prune_invisible)
+                    slam.prune_invisible()
+                pose_fn = None if self.policy_name == "frontier" \
+                    else slam.pose_eval
+                global_points, eigs, _rgp = planner.global_planning(
+                    pose_fn, slam.gaussian_points, None, expansion=expansion,
+                    agent_pose=current_agent_pose[:3, 3],
+                    last_goal=self.last_goal)
+            gaussian_points = slam.gaussian_points
+            if global_points is None:
+                return None, None
+            global_points = np.asarray(global_points)
+            eigs = np.asarray(eigs)
 
         try:
-            goals, path_actions, paths_arr = action_planning(
-                global_points, current_agent_pose, planner, gaussian_points,
-                t, self.forward_step, self.turn_angle, self.queue_size)
+            with self.timer.phase("plan.actions"):
+                goals, path_actions, paths_arr = action_planning(
+                    global_points, current_agent_pose, planner,
+                    gaussian_points, t, self.forward_step, self.turn_angle,
+                    self.queue_size)
         except LocalizationError:
             return None, None
         if not path_actions:
@@ -231,13 +234,16 @@ class ActiveMapper:
         if self.policy_name == "frontier":
             best = 0       # FBE: first (closest-frontier) valid path
         else:
-            h_train = slam.compute_H_train()
+            with self.timer.phase("plan.h_train"):
+                h_train = slam.compute_H_train()
             a_max = self.queue_size
             n_paths = len(path_actions)
             # only the acc-step Hessians affect scores (exact skip of the
             # reference's wasted per-action Hessians; see path_eval)
             acc_idx = acc_step_indices(a_max,
                                        int(self.cfg.acc_H_train_every))
+            t_rollout = self.timer.phase("plan.rollout")
+            t_rollout.__enter__()
             # pad the path axis to a fixed 20 so path_eig_scores compiles
             # once per episode (padding rows get -inf final EIG)
             p_max = 20
@@ -259,17 +265,20 @@ class ActiveMapper:
                 e = eigs[np.where((global_points == g).all(axis=(1, 2)))[0][0]]
                 # log of the endpoint EIG (reference mixes log-EIGs)
                 final_eigs[i] = np.log(max(float(e), 1e-30))
-            scores = path_eig_scores(
-                slam.state, h_train, jnp.asarray(w2cs), jnp.asarray(valid),
-                jnp.asarray(lengths), jnp.asarray(final_eigs), slam.camera,
-                slam.fisher_settings,
-                float(self.cfg.H_reg_lambda),
-                float(self.cfg.path_pose_weight),
-                float(self.cfg.path_point_weight),
-                float(self.cfg.path_end_weight),
-                bool(self.cfg.vol_weighted_H),
-                float(slam.gs_pts_cnt()))
-            best = int(np.argmax(np.asarray(scores)[:n_paths]))
+            t_rollout.__exit__(None, None, None)
+            with self.timer.phase("plan.path_eig"):
+                scores = path_eig_scores(
+                    slam.state, h_train, jnp.asarray(w2cs),
+                    jnp.asarray(valid), jnp.asarray(lengths),
+                    jnp.asarray(final_eigs), slam.camera,
+                    slam.fisher_settings,
+                    float(self.cfg.H_reg_lambda),
+                    float(self.cfg.path_pose_weight),
+                    float(self.cfg.path_point_weight),
+                    float(self.cfg.path_end_weight),
+                    bool(self.cfg.vol_weighted_H),
+                    float(slam.gs_pts_cnt()))
+                best = int(np.argmax(np.asarray(scores)[:n_paths]))
 
         self.last_goal = goals[best]
         return path_actions[best], paths_arr[best]
