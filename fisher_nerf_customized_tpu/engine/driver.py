@@ -139,6 +139,9 @@ class ActiveMapper:
         from ..models.object_slam import GaussianObjectSLAM
         from .object_planning import init_object_policy
         w2c = np.linalg.inv(obs["c2w"])
+        # object SLAM consumes host frames (mask plumbing is host-side)
+        obs = dict(obs, rgb=np.asarray(obs["rgb"]),
+                   depth=np.asarray(obs["depth"]))
         if self.obj_slam is None:
             self.obj_slam = GaussianObjectSLAM(self.cfg,
                                                eval_dir=self.eval_dir,
@@ -397,9 +400,8 @@ class ActiveMapper:
                     self.upen.init(pose)
                 self.upen.observe(obs["depth"], self.sim.intrinsics, pose,
                                   cam_height=float(c2w[1, 3]))
-            self.global_pcl.add_frame(np.asarray(obs["depth"]),
-                                      self.sim.intrinsics, c2w,
-                                      color=np.asarray(obs["rgb"]))
+            self.global_pcl.add_frame(obs["depth"], self.sim.intrinsics, c2w,
+                                      color=obs["rgb"])
 
             if self.traj_actions is not None:
                 if t >= len(self.traj_actions):
@@ -407,6 +409,11 @@ class ActiveMapper:
                     break
                 action = int(self.traj_actions[t])
             else:
+                if (self.policy_name == "gaussians_based" and self.upen is None
+                        and len(self.queue) <= self.plan_watermark + 2):
+                    # dispatch H_train ahead of the planning event (device
+                    # handle cached; zero staleness — same keyframes/params)
+                    self.slam.prewarm_H_train()
                 if (self.pipeline_planning and self.upen is None
                         and 0 < len(self.queue) <= self.plan_watermark):
                     with self.timer.phase("planning"):

@@ -73,9 +73,9 @@ class FrontierNavigator:
         while t < self.max_steps:
             c2w = obs["c2w"]
             self.planner.update_occ_map(obs["depth"], c2w, t)
-            self.global_pcl.add_frame(np.asarray(obs["depth"]),
+            self.global_pcl.add_frame(obs["depth"],
                                       self.sim.intrinsics, c2w,
-                                      color=np.asarray(obs["rgb"]))
+                                      color=obs["rgb"])
             try:
                 while not self.queue:
                     self._replan(c2w, t)

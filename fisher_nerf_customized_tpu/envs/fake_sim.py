@@ -200,8 +200,11 @@ def _raycast_device(lo, hi, inward, seeds, c2w, camera: Camera):
     The simulator stands in for habitat-sim's C++/GL renderer (~ms per
     frame); a host-numpy raycast at 256² costs ~70 ms/step and would cap
     the episode benchmark at the *stand-in's* speed, not the framework's.
-    Observations are pulled back to numpy per step, preserving the
-    reference's host↔device boundary (SURVEY.md §3.1)."""
+    With `device_obs` (default) rgb/depth stay on device — every hot
+    consumer is jitted, so this matches a habitat deployment's single
+    host->device upload better than a pull-then-reupload round trip;
+    `device_obs=False` restores the reference's host boundary
+    (SURVEY.md §3.1) for object/semantic episodes and A/B timing."""
     h, w = camera.height, camera.width
     ys = (jnp.arange(h, dtype=jnp.float32) - camera.cy) / camera.fy
     xs = (jnp.arange(w, dtype=jnp.float32) - camera.cx) / camera.fx
@@ -265,7 +268,8 @@ class FakeSim:
     def __init__(self, scene: BoxScene, camera: Camera,
                  forward_step: float = 0.065, turn_angle: float = 10.0,
                  cam_height: float = 1.25, seed: int = 0,
-                 dynamic_object: SimObject | None = None):
+                 dynamic_object: SimObject | None = None,
+                 device_obs: bool = True):
         self.scene = scene
         self.camera = camera
         self.forward_step = float(forward_step)
@@ -273,6 +277,12 @@ class FakeSim:
         self.cam_height = float(cam_height)
         self._boxes = scene.boxes()
         self.dynamic_object = dynamic_object
+        # device_obs: rgb/depth stay JAX device arrays (all hot consumers —
+        # SLAM, occupancy, point-cloud subsample — are jitted; a habitat
+        # deployment pays ONE host->device upload, while pulling here just
+        # to re-upload pays a tunnel round trip both ways).  Object/semantic
+        # episodes fall back to host observations (mask logic is host-side).
+        self.device_obs = bool(device_obs) and dynamic_object is None
         self.rng = np.random.default_rng(seed)
         self.c2w = np.eye(4, dtype=np.float32)
         self.collided_last = False
@@ -306,6 +316,12 @@ class FakeSim:
 
     def get_observations(self):
         boxes, obj_idx = self._boxes_now()
+        if self.device_obs:
+            rgb, depth, _hit = _raycast_device(
+                jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
+                jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
+                jnp.asarray(np.asarray(self.c2w, np.float32)), self.camera)
+            return dict(rgb=rgb, depth=depth, c2w=self.c2w.copy())
         rgb, depth, hit = _raycast(boxes, self.c2w, self.camera)
         obs = dict(rgb=rgb, depth=depth, c2w=self.c2w.copy())
         if self.dynamic_object is not None:
@@ -348,6 +364,9 @@ class FakeSim:
             _a, next_c2w, collided, out, obj_idx = pf
             self.c2w = next_c2w
             self.collided_last = collided
+            if self.device_obs:
+                rgb, z, _best = out
+                return dict(rgb=rgb, depth=z, c2w=self.c2w.copy())
             rgb, z, best = jax.device_get(out)
             obs = dict(rgb=rgb.astype(np.float32),
                        depth=z.astype(np.float32), c2w=self.c2w.copy())

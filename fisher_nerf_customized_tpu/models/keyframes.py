@@ -31,8 +31,16 @@ class KeyframeBuffer:
 
     def append(self, color, depth, w2c, frame_id: int,
                color_dev=None, depth_dev=None):
-        self.colors.append(np.asarray(color, np.float32))
-        self.depths.append(np.asarray(depth, np.float32))
+        # device-resident frames keep only the device copy; host copies
+        # (needed for checkpoints) materialize lazily in state_dict()
+        if type(color).__module__.startswith("jax"):
+            color_dev = color if color_dev is None else color_dev
+            depth_dev = depth if depth_dev is None else depth_dev
+            self.colors.append(None)
+            self.depths.append(None)
+        else:
+            self.colors.append(np.asarray(color, np.float32))
+            self.depths.append(np.asarray(depth, np.float32))
         self.w2cs.append(np.asarray(w2c, np.float32))
         self.ids.append(int(frame_id))
         self._colors_dev.append(color_dev)
@@ -55,7 +63,20 @@ class KeyframeBuffer:
             return np.zeros((0, 4, 4), np.float32)
         return np.stack(self.w2cs)
 
+    def _materialize_host(self):
+        """Pull any device-only frames to host (ONE batched device_get)."""
+        missing = [i for i, c in enumerate(self.colors) if c is None]
+        if not missing:
+            return
+        import jax
+        pulled = jax.device_get([(self._colors_dev[i], self._depths_dev[i])
+                                 for i in missing])
+        for i, (c, d) in zip(missing, pulled):
+            self.colors[i] = np.asarray(c, np.float32)
+            self.depths[i] = np.asarray(d, np.float32)
+
     def state_dict(self):
+        self._materialize_host()
         return dict(colors=self.colors, depths=self.depths, w2cs=self.w2cs,
                     ids=self.ids)
 

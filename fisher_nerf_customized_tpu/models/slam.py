@@ -473,6 +473,7 @@ class GaussianSLAM:
         self.initialized = False
         self.rng = np.random.default_rng(0)
         self.last_losses = None
+        self._param_version = 0   # bumped on any Gaussian-param mutation
 
     # -- helpers ------------------------------------------------------------
     @property
@@ -523,6 +524,18 @@ class GaussianSLAM:
             self.state = grow_state(self.state, new_cap)
 
     def _prep_inputs(self, color, depth):
+        if type(color).__module__.startswith("jax"):
+            # device-resident observations: keep them on device (all
+            # consumers are jitted); layout fixes stay async
+            if color.dtype == jnp.uint8:
+                color = color.astype(jnp.float32) / 255.0
+            color = color.astype(jnp.float32)
+            if color.ndim == 3 and color.shape[0] == 3:
+                color = jnp.moveaxis(color, 0, -1)
+            depth = jnp.asarray(depth, jnp.float32)
+            if depth.ndim == 3:
+                depth = depth.reshape(depth.shape[-2], depth.shape[-1])
+            return color, depth
         color = np.asarray(color)
         if color.dtype == np.uint8:
             color = color.astype(np.float32) / 255.0
@@ -662,8 +675,8 @@ class GaussianSLAM:
         # keyframe window selection (gaussian.py:700-722)
         num_kf = int(cfgc.mapping_window_size) - 2
         selected = select_keyframes_overlap(
-            depth[None], w2c, self.intrinsics, self.keyframes, num_kf,
-            rng=self.rng)
+            np.asarray(depth)[None], w2c, self.intrinsics, self.keyframes,
+            num_kf, rng=self.rng)
         if len(self.keyframes) > 0:
             selected.append(len(self.keyframes) - 1)
         # window stacked ON DEVICE from per-keyframe device copies (the
@@ -702,6 +715,7 @@ class GaussianSLAM:
         # overflow is per-frame binning truncation (bins are frozen for
         # the phase), so the renders count is the window size
         self._pending_bump = (overflow, b_max)
+        self._param_version += 1
 
         if bool(cfgc.mapping.use_gaussian_splatting_densification):
             # gradient clone/split densification (reference
@@ -761,21 +775,40 @@ class GaussianSLAM:
             return h, jnp.eye(6)
         return h
 
+    def _h_train_key(self):
+        """Cache key: H_train changes only when the keyframe set or the
+        Gaussian parameters change (mapping/densify/prune bump
+        `_param_version`); per-frame tracking does not invalidate it."""
+        return (len(self.keyframes), getattr(self, "_param_version", 0),
+                self.n_active, self.state.capacity)
+
     def compute_H_train(self, random_gaussian_params=None):
         """Σ over keyframes of compute_Hessian (gaussian.py:1338-1348).
 
-        Cached per (keyframe count, frame_idx, n_active): within one
-        planning event pose_eval and the path evaluation both need it —
-        the reference recomputes it each time (pose_eval at gaussian.py:
-        1355 AND plan_best_path at tester:1643)."""
-        key = (len(self.keyframes), self.frame_idx, self.n_active,
-               self.state.capacity)
+        Cached per parameter/keyframe version: within one planning event
+        pose_eval and the path evaluation both need it — the reference
+        recomputes it each time (pose_eval at gaussian.py:1355 AND
+        plan_best_path at tester:1643).  `prewarm_H_train` dispatches the
+        same computation asynchronously ahead of a planning event."""
+        key = self._h_train_key()
         cached = getattr(self, "_h_train_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
         h = self._compute_h_train_impl()
         self._h_train_cache = (key, h)
         return h
+
+    def prewarm_H_train(self):
+        """Dispatch H_train asynchronously (device handle cached, no pull).
+        Called by the driver a few steps before the action queue drains so
+        the planning event's pose_eval resolve doesn't wait for it.  No
+        reference analog (the reference computes it synchronously inside
+        pose_eval); results are identical — same keyframes, same params."""
+        key = self._h_train_key()
+        cached = getattr(self, "_h_train_cache", None)
+        if cached is not None and cached[0] == key:
+            return
+        self._h_train_cache = (key, self._compute_h_train_impl())
 
     def _compute_h_train_impl(self):
         w2cs = self.keyframes.stacked_w2cs()
@@ -870,6 +903,7 @@ class GaussianSLAM:
         ts[: data["timestep"].shape[0]] = data["timestep"]
         self.state = self.state.replace_params(params)._replace(
             timestep=jnp.asarray(ts), n_active=jnp.asarray(n, jnp.int32))
+        self._param_version += 1
         self.poses_w2c = [p for p in data["poses_w2c"]]
         self.keyframe_time_indices = [int(i) for i in
                                       data["keyframe_time_indices"]]
@@ -904,6 +938,7 @@ class GaussianSLAM:
         keep = np.ones((self.state.capacity,), bool)
         keep[np.asarray(gaussian_index, np.int64)] = False
         self.state, _order = prune_compact(self.state, jnp.asarray(keep))
+        self._param_version += 1
 
     def prune_invisible(self, w2cs=None):
         """Drop Gaussians invisible from every given (or keyframe) pose
@@ -925,6 +960,8 @@ class GaussianSLAM:
             seen |= np.asarray(out["visible"][:n_real]).any(axis=0)
         removed = int(self.n_active - seen[: self.n_active].sum())
         self.state, _ = prune_compact(self.state, jnp.asarray(seen))
+        if removed:
+            self._param_version += 1
         return removed
 
     def DFS_acq_score_planning(self, train_poses, is_navigable,

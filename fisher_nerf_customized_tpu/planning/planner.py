@@ -102,7 +102,8 @@ class AstarPlanner:
 
     def update_occ_map(self, depth, c2w, t: int, downsample: int = 1):
         self.frame_idx = int(t)
-        depth = np.asarray(depth, np.float32)
+        if not type(depth).__module__.startswith("jax"):
+            depth = np.asarray(depth, np.float32)   # host path: stage once
         if depth.ndim == 3:
             depth = depth.reshape(depth.shape[-2], depth.shape[-1])
         c2w = np.asarray(c2w, np.float32)

@@ -7,6 +7,7 @@ offline, so PLY IO is hand-rolled (binary little-endian).
 """
 from __future__ import annotations
 
+import functools
 import os
 import struct
 
@@ -31,18 +32,86 @@ def backproject_depth(depth: np.ndarray, intrinsics: np.ndarray,
     return pts_w
 
 
+_SUBSAMPLE_JIT = None
+
+
+def _subsample_jit():
+    """Lazy module-level jit (built once; jax import stays optional).
+    Batched over a frame axis — one dispatch covers a whole window of
+    deferred frames (per-step dispatches cost ~20 ms of host time each on
+    tunneled TPUs)."""
+    global _SUBSAMPLE_JIT
+    if _SUBSAMPLE_JIT is not None:
+        return _SUBSAMPLE_JIT
+    import jax
+    import jax.numpy as jnp
+
+    def one(depth, rgb, c2w, intr, key, keep_ratio, max_depth,
+            max_pts: int, with_color: bool):
+        h, w = depth.shape
+        fx, fy = intr[0, 0], intr[1, 1]
+        cx, cy = intr[0, 2], intr[1, 2]
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        z = depth.reshape(-1)
+        valid = (z > 0) & (z < max_depth)
+        keep = jax.random.uniform(key, z.shape) < keep_ratio
+        mask = valid & keep
+        idx = jnp.nonzero(mask, size=max_pts, fill_value=0)[0]
+        ok = jnp.arange(max_pts) < jnp.sum(mask)
+        zk = z[idx]
+        px = (gx.reshape(-1)[idx] - cx) / fx * zk
+        py = (gy.reshape(-1)[idx] - cy) / fy * zk
+        pts_cam = jnp.stack([px, py, zk], -1)
+        pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+        cols = rgb.reshape(-1, 3)[idx] if with_color else jnp.zeros(
+            (max_pts, 3), jnp.float32)
+        return pts_w, cols, ok
+
+    @functools.partial(jax.jit, static_argnames=("max_pts", "with_color"))
+    def impl(depths, rgbs, c2ws, intr, keys, keep_ratio, max_depth,
+             max_pts: int, with_color: bool):
+        return jax.vmap(
+            lambda d, r, c, k: one(d, r, c, intr, k, keep_ratio, max_depth,
+                                   max_pts, with_color))(
+            depths, rgbs, c2ws, keys)
+
+    _SUBSAMPLE_JIT = impl
+    return impl
+
+
 class GlobalPointCloud:
     """Running scene point cloud with keep-ratio subsampling
-    (reference store_filtered_pointcloud keep_ratio=0.05)."""
+    (reference store_filtered_pointcloud keep_ratio=0.05).
 
-    def __init__(self, keep_ratio: float = 0.05, seed: int = 0):
+    Frames arriving as JAX device arrays take a device path: the
+    backprojection + subsample is jitted and only the fixed-capacity
+    result handles are stored; the host pull is ONE batched device_get at
+    `get()` time instead of a blocking per-step round trip."""
+
+    def __init__(self, keep_ratio: float = 0.05, seed: int = 0,
+                 window: int = 16):
         self.keep_ratio = keep_ratio
         self.rng = np.random.default_rng(seed)
         self.points: list[np.ndarray] = []
         self.colors: list[np.ndarray] = []
+        self.window = int(window)
+        self._raw: list = []         # (depth_dev, rgb_dev|None, c2w, seed)
+        self._pending: list = []     # (pts_dev, cols_dev|None, valid_dev)
 
     def add_frame(self, depth, intrinsics, c2w, color=None,
                   max_depth: float = 10.0):
+        if type(depth).__module__.startswith("jax"):
+            # defer: keep the device handles, dispatch one batched
+            # subsample per `window` frames (and pull only at get())
+            self._raw.append((depth, color, np.asarray(c2w, np.float32),
+                              int(self.rng.integers(0, 2**31 - 1)),
+                              np.asarray(intrinsics, np.float32),
+                              float(max_depth)))
+            if len(self._raw) >= self.window:
+                self._dispatch_raw()
+            return
         if color is not None:
             pts, cols = backproject_depth(depth, intrinsics, c2w, max_depth,
                                           color)
@@ -57,7 +126,55 @@ class GlobalPointCloud:
         if cols is not None:
             self.colors.append(cols[keep].astype(np.float32))
 
+    def _dispatch_raw(self):
+        if not self._raw:
+            return
+        import jax
+        import jax.numpy as jnp
+        batch = self._raw
+        self._raw = []
+        n_real = len(batch)
+        # pad partial windows (one compiled batch size for the episode);
+        # padding rows are dropped via a zeroed depth -> ok all-False
+        while len(batch) < self.window:
+            b0 = batch[-1]
+            batch.append((jnp.zeros_like(b0[0]),) + b0[1:])
+        h, w = batch[0][0].shape[-2], batch[0][0].shape[-1]
+        # capacity with ~4 sigma headroom over the binomial keep count
+        mean = h * w * self.keep_ratio
+        cap = int(-(-(mean + 4.0 * np.sqrt(mean)) // 256) * 256)
+        with_color = batch[0][1] is not None
+        depths = jnp.stack([jnp.reshape(b[0], (h, w)) for b in batch])
+        rgbs = (jnp.stack([b[1] for b in batch]) if with_color
+                else jnp.zeros((len(batch), h, w, 3), jnp.float32))
+        c2ws = jnp.asarray(np.stack([b[2] for b in batch]))
+        import jax.random as jrandom
+        keys = jax.vmap(jrandom.key)(
+            jnp.asarray([b[3] for b in batch], jnp.uint32))
+        intr = jnp.asarray(batch[0][4], jnp.float32)
+        pts, cols, ok = _subsample_jit()(
+            depths, rgbs, c2ws, intr, keys, float(self.keep_ratio),
+            float(batch[0][5]), cap, with_color)
+        ok = ok & (jnp.arange(len(batch)) < n_real)[:, None]
+        self._pending.append((pts, cols if with_color else None, ok))
+
+    def _drain_pending(self):
+        self._dispatch_raw()
+        if not self._pending:
+            return
+        import jax
+        pulled = jax.device_get(self._pending)   # ONE batched round trip
+        self._pending = []
+        for pts, cols, ok in pulled:
+            pts, ok = np.asarray(pts), np.asarray(ok)
+            for i in range(len(pts)):
+                self.points.append(pts[i][ok[i]].astype(np.float32))
+                if cols is not None:
+                    self.colors.append(
+                        np.asarray(cols[i])[ok[i]].astype(np.float32))
+
     def get(self) -> np.ndarray:
+        self._drain_pending()
         if not self.points:
             return np.zeros((0, 3), np.float32)
         return np.concatenate(self.points)
