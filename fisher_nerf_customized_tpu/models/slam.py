@@ -666,11 +666,18 @@ class GaussianSLAM:
                 self.state, color_dev, depth_dev,
                 jnp.asarray(w2c), float(time_idx), self.camera,
                 self.settings, self.mc)
-            dropped, overflow = jax.device_get((dropped, overflow))
-            if int(dropped) > 0:   # capacity guard tripped mid-event
-                self._ensure_capacity(int(dropped) + 1024)
-            if int(overflow) > 0:
-                self._maybe_bump_tile_capacity(int(overflow), 2)
+            # deferred guard: _ensure_capacity above reserved worst-case
+            # room (all pixels), so `dropped` can only be nonzero after a
+            # growth-cap clamp; checking LAST event's handles instead of
+            # syncing here removes a full device-drain wait per event
+            prev = getattr(self, "_densify_guard", None)
+            self._densify_guard = (dropped, overflow)
+            if prev is not None:
+                p_dropped, p_overflow = jax.device_get(prev)
+                if int(p_dropped) > 0:
+                    self._ensure_capacity(int(p_dropped) + 1024)
+                if int(p_overflow) > 0:
+                    self._maybe_bump_tile_capacity(int(p_overflow), 2)
 
         # keyframe window selection (gaussian.py:700-722)
         num_kf = int(cfgc.mapping_window_size) - 2
@@ -788,13 +795,22 @@ class GaussianSLAM:
         Cached per parameter/keyframe version: within one planning event
         pose_eval and the path evaluation both need it — the reference
         recomputes it each time (pose_eval at gaussian.py:1355 AND
-        plan_best_path at tester:1643).  `prewarm_H_train` dispatches the
-        same computation asynchronously ahead of a planning event."""
+        plan_best_path at tester:1643).  When only keyframes were APPENDED
+        since the cached sum (parameters untouched), the cache is topped up
+        with just the new keyframes' Hessians — numerically identical to a
+        full recompute (the sum is over independent per-keyframe terms).
+        `prewarm_H_train` dispatches the same computation asynchronously
+        ahead of a planning event."""
         key = self._h_train_key()
         cached = getattr(self, "_h_train_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        h = self._compute_h_train_impl()
+        if cached is not None and cached[0][1:] == key[1:] \
+                and cached[0][0] < key[0]:
+            h = cached[1] + self._h_train_over(
+                self.keyframes.stacked_w2cs()[cached[0][0]:])
+        else:
+            h = self._compute_h_train_impl()
         self._h_train_cache = (key, h)
         return h
 
@@ -804,18 +820,19 @@ class GaussianSLAM:
         the planning event's pose_eval resolve doesn't wait for it.  No
         reference analog (the reference computes it synchronously inside
         pose_eval); results are identical — same keyframes, same params."""
-        key = self._h_train_key()
-        cached = getattr(self, "_h_train_cache", None)
-        if cached is not None and cached[0] == key:
-            return
-        self._h_train_cache = (key, self._compute_h_train_impl())
+        self.compute_H_train()
 
     def _compute_h_train_impl(self):
         w2cs = self.keyframes.stacked_w2cs()
         if len(w2cs) == 0:
             return jnp.zeros((self.state.capacity, 4))
+        return self._h_train_over(w2cs)
+
+    def _h_train_over(self, w2cs):
         h_train = jnp.zeros((self.state.capacity, 4))
-        ck = self.pose_chunk
+        if len(w2cs) == 0:
+            return h_train
+        ck = min(self.pose_chunk, len(w2cs))
         for i in range(0, len(w2cs), ck):
             chunk = w2cs[i:i + ck]
             pad = ck - len(chunk)

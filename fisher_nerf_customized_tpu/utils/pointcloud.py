@@ -91,7 +91,7 @@ class GlobalPointCloud:
     `get()` time instead of a blocking per-step round trip."""
 
     def __init__(self, keep_ratio: float = 0.05, seed: int = 0,
-                 window: int = 16):
+                 window: int = 64):
         self.keep_ratio = keep_ratio
         self.rng = np.random.default_rng(seed)
         self.points: list[np.ndarray] = []

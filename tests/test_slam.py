@@ -95,6 +95,25 @@ def test_slam_keyframes_accumulate(tmp_path):
     assert slam.keyframe_time_indices[0] == 0
 
 
+def test_h_train_incremental_topup_exact(tmp_path):
+    """compute_H_train's keyframe top-up path (cache hit + append) must be
+    numerically identical to a from-scratch recompute — the sum over
+    keyframes is over independent terms."""
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    run_short_episode(slam, sim)
+    assert len(slam.keyframes) >= 2
+    # prime the cache on a PREFIX of the keyframes, then restore and let
+    # compute_H_train top up the remainder
+    full_w2cs = slam.keyframes.stacked_w2cs()
+    prefix_key = (len(full_w2cs) - 1,) + slam._h_train_key()[1:]
+    slam._h_train_cache = (prefix_key, slam._h_train_over(full_w2cs[:-1]))
+    h_inc = np.asarray(slam.compute_H_train())
+    slam._h_train_cache = None
+    h_full = np.asarray(slam.compute_H_train())
+    np.testing.assert_allclose(h_inc, h_full, rtol=1e-5, atol=1e-7)
+
+
 def test_pose_eval_eig_contract(tmp_path):
     """EIG = sum(H_pose / (H_train + 0.1)): a view of mapped Gaussians
     scores > 0, a view of completely unmapped space scores exactly 0
