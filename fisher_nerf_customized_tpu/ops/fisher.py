@@ -46,6 +46,12 @@ from .projection import preprocess
 from .rasterize import RenderSettings
 
 
+class _CoreBins(NamedTuple):
+    """Minimal bins view consumed by fisher_core's scan bodies."""
+    table: jnp.ndarray
+    slot_valid: jnp.ndarray
+
+
 def _pack_params(prep, bins, opacities, colors, means_cam):
     """One big gather into (T, K, 9+C): random-index gathers inside scan
     bodies are pathologically slow on TPU (see rasterize._blend_tiles)."""
@@ -96,22 +102,32 @@ def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
     bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
                     camera.width, camera.height, st.tile_size, st.max_per_tile)
 
-    ts = st.tile_size
-    ntx, nty = bins.n_tiles_x, bins.n_tiles_y
-    n_tiles = ntx * nty
-    p = ts * ts
-    n_chunks = st.max_per_tile // st.chunk
-    cch = colors.shape[-1]
-
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    lx = jnp.tile(jnp.arange(ts, dtype=jnp.float32), (ts,))
-    ly = jnp.repeat(jnp.arange(ts, dtype=jnp.float32), ts)
-    pix_x = ((tile_ids % ntx) * ts)[:, None].astype(jnp.float32) + lx[None, :]
-    pix_y = ((tile_ids // ntx) * ts)[:, None].astype(jnp.float32) + ly[None, :]
-
-    k0s = jnp.arange(n_chunks, dtype=jnp.int32) * st.chunk
+    from .rasterize import tile_pixel_coords
+    pix_x, pix_y = tile_pixel_coords(bins.n_tiles_x, bins.n_tiles_y,
+                                     st.tile_size)
     packed = _pack_params(prep, bins, opacities, colors, means_cam)
+    h = fisher_core(st, camera, packed, bins.table, bins.slot_valid,
+                    pix_x, pix_y, n, grad_value)
+    return dict(H=h, radii=prep.radius, visible=prep.radius > 0)
+
+
+def fisher_core(st: RenderSettings, camera: Camera, packed, table,
+                slot_valid, pix_x, pix_y, n_out: int,
+                grad_value: float = 1e-3):
+    """Two-pass squared-backward over pre-packed per-tile slot data.
+
+    packed: (T, K, 10+C) rows front-to-back (layout of _pack_params);
+    table: (T, K) indices into the (n_out,)-sized output accumulator;
+    pix_x/pix_y: (T, P).  Returns the (n_out, 4) Fisher diagonal.
+    Factored from fisher_diag so the Gaussian-axis sharded path
+    (parallel/sharding.py) can run it on merged cross-device lists with
+    global indices."""
+    n = n_out
+    n_tiles, p = pix_x.shape
+    n_chunks = st.max_per_tile // st.chunk
+    k0s = jnp.arange(n_chunks, dtype=jnp.int32) * st.chunk
     nf = packed.shape[-1]
+    bins = _CoreBins(table=table, slot_valid=slot_valid)
 
     # ---- pass 1: record per-chunk starting transmittance ------------------
     @jax.checkpoint
@@ -196,7 +212,7 @@ def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
     s0 = jnp.zeros((n_tiles, p), jnp.float32)
     (_sb, h), _ = jax.lax.scan(bwd_step, (s0, h0),
                                (jnp.flip(k0s), jnp.flip(t_starts, axis=0)))
-    return dict(H=h, radii=prep.radius, visible=prep.radius > 0)
+    return h
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "n_probes"))

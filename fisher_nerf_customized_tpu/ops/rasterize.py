@@ -40,6 +40,31 @@ class RenderSettings(NamedTuple):
     max_depth: float = 15.0   # median-depth fallback (forward.cu:308)
 
 
+def pack_blend_features(prep, opacities, colors):
+    """Per-Gaussian packed feature rows for the blend:
+    [mean2d (2), conic (3), opacity (1), depth (1), colors (C)]."""
+    return jnp.concatenate([
+        prep.mean2d,                                 # 0:2
+        prep.conic,                                  # 2:5
+        opacities[:, None],                          # 5
+        prep.depth[:, None],                         # 6
+        colors,                                      # 7:
+    ], axis=-1)
+
+
+def tile_pixel_coords(ntx: int, nty: int, ts: int):
+    """Pixel-center coordinates per tile: two (T, P) float arrays."""
+    n_tiles = ntx * nty
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_x0 = (tile_ids % ntx) * ts
+    tile_y0 = (tile_ids // ntx) * ts
+    lx = jnp.tile(jnp.arange(ts, dtype=jnp.float32), (ts,))
+    ly = jnp.repeat(jnp.arange(ts, dtype=jnp.float32), ts)
+    pix_x = tile_x0[:, None].astype(jnp.float32) + lx[None, :]
+    pix_y = tile_y0[:, None].astype(jnp.float32) + ly[None, :]
+    return pix_x, pix_y
+
+
 def _blend_tiles(camera: Camera, st: RenderSettings, prep, bins,
                  opacities, colors):
     """Front-to-back blend of all tiles.  Returns per-tile-pixel buffers.
@@ -51,39 +76,33 @@ def _blend_tiles(camera: Camera, st: RenderSettings, prep, bins,
     the contiguous feature axis."""
     ts = st.tile_size
     ntx, nty = bins.n_tiles_x, bins.n_tiles_y
-    n_tiles = ntx * nty
-    p = ts * ts
+    cch = colors.shape[-1]
+    feat = pack_blend_features(prep, opacities, colors)
+    packed = feat[bins.table]                        # (T, K, 7+C)
+    pix_x, pix_y = tile_pixel_coords(ntx, nty, ts)
+    return blend_packed(st, packed, bins.slot_valid, pix_x, pix_y)
+
+
+def blend_packed(st: RenderSettings, packed, slot_valid, pix_x, pix_y):
+    """Chunked front-to-back blend of pre-packed per-tile slot features.
+
+    packed: (T, K, 7+C) rows in front-to-back depth order (layout of
+    `pack_blend_features`); slot_valid: (T, K); pix_x/pix_y: (T, P).
+    Returns (final_t (T, P), color_acc (T, P, C), median_depth (T, P)).
+    Factored out of _blend_tiles so the Gaussian-axis sharded renderer
+    (parallel/sharding.py) can blend merged cross-device candidate lists.
+    """
+    n_tiles, p = pix_x.shape
     n_chunks = st.max_per_tile // st.chunk
     assert n_chunks * st.chunk == st.max_per_tile, "chunk must divide max_per_tile"
-    cch = colors.shape[-1]
-
-    # ONE row gather of a pre-concatenated (N, 7+C) feature matrix — row
-    # gathers run at ~30M rows/s on TPU, so one (T*K)-row gather instead
-    # of five cuts the pregather cost ~2x
-    feat = jnp.concatenate([
-        prep.mean2d,                                 # 0:2
-        prep.conic,                                  # 2:5
-        opacities[:, None],                          # 5
-        prep.depth[:, None],                         # 6
-        colors,                                      # 7:
-    ], axis=-1)
-    packed = feat[bins.table]                        # (T, K, 7+C)
-
-    # pixel centers per tile, as float pixel indices (T, P, 2)
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_x0 = (tile_ids % ntx) * ts
-    tile_y0 = (tile_ids // ntx) * ts
-    lx = jnp.tile(jnp.arange(ts, dtype=jnp.float32), (ts,))
-    ly = jnp.repeat(jnp.arange(ts, dtype=jnp.float32), ts)
-    pix_x = tile_x0[:, None].astype(jnp.float32) + lx[None, :]
-    pix_y = tile_y0[:, None].astype(jnp.float32) + ly[None, :]
+    cch = packed.shape[-1] - 7
 
     @jax.checkpoint
     def chunk_step(carry, k0):
         t_carry, c_acc, med, has_med = carry
         blk = jax.lax.dynamic_slice(
             packed, (0, k0, 0), (n_tiles, st.chunk, packed.shape[-1]))
-        sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
+        sval = jax.lax.dynamic_slice(slot_valid, (0, k0), (n_tiles, st.chunk))
 
         mu = blk[..., 0:2]             # (T, CH, 2)
         con = blk[..., 2:5]            # (T, CH, 3)

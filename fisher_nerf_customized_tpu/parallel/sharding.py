@@ -27,9 +27,12 @@ from jax import shard_map
 
 from ..models.gaussian_state import GaussianState, adam_init, adam_step
 from ..models.slam import MappingConfig, _mapping_loss
+from ..ops.binning import tile_bin
 from ..ops.camera import Camera
-from ..ops.fisher import fisher_diag
-from ..ops.rasterize import RenderSettings
+from ..ops.fisher import _pack_params, fisher_core, fisher_diag
+from ..ops.projection import preprocess
+from ..ops.rasterize import (RenderSettings, _tiles_to_image, blend_packed,
+                             pack_blend_features, tile_pixel_coords)
 from ..planning.occupancy import occ_update
 
 
@@ -111,6 +114,181 @@ def multi_scene_occ_update(mesh: Mesh, camera: Camera):
         out_specs=(P("data"), P("data")),
         check_vma=False)
     return jax.jit(fn)
+
+
+def _merge_shard_tiles(score, *arrays, axis_name: str, k: int):
+    """all_gather per-device per-tile top-k candidate lists and re-select
+    the global top-k per tile.
+
+    The union of per-device nearest-k sets contains the global nearest-k
+    (any globally nearest candidate is nearest on its own device), so the
+    merge is EXACT — the distributed equivalent of the CUB radix sort's
+    global [tile|depth] order (reference rasterizer_impl.cu:277-323).
+
+    score: (T, K) per-slot merge score (-depth, -inf for invalid slots).
+    arrays: per-slot payloads (T, K, ...) to carry through the merge.
+    Returns (merged_valid (T, K), merged arrays, n_cand (T,)).
+    """
+    score_all = jax.lax.all_gather(score, axis_name)        # (D, T, K)
+    d = score_all.shape[0]
+    t = score.shape[0]
+    score_m = jnp.moveaxis(score_all, 0, 1).reshape(t, d * k)
+    vals, pos = jax.lax.top_k(score_m, k)                   # (T, K)
+    valid = vals > -jnp.inf
+    n_cand = jnp.sum((score_m > -jnp.inf).astype(jnp.int32), axis=1)
+
+    merged = []
+    for arr in arrays:
+        arr_all = jax.lax.all_gather(arr, axis_name)        # (D, T, K, ...)
+        arr_m = jnp.moveaxis(arr_all, 0, 1).reshape(
+            (t, d * k) + arr.shape[2:])
+        idx = pos.reshape(pos.shape + (1,) * (arr_m.ndim - 2))
+        merged.append(jnp.take_along_axis(arr_m, idx, axis=1))
+    return valid, merged, n_cand
+
+
+def render_gaussian_sharded(mesh: Mesh, camera: Camera,
+                            settings: RenderSettings = RenderSettings()):
+    """Gaussian-axis ("model") sharded rendering for maps too large for one
+    chip (SURVEY.md §2.9 TPU-native equivalent (3)).
+
+    Each device preprocesses + tile-bins its shard of the N-Gaussian axis,
+    all_gathers the per-tile front-to-back candidate lists (features travel
+    with the sort, so no post-merge gather), re-selects the global
+    nearest-K per tile, and alpha-blends a disjoint 1/D shard of the tiles.
+    Collectives ride ICI: one all_gather of (T, K, F) candidate features
+    per device + the output tile concat.
+
+    Returns a jitted fn(means_w, scales, quats, opacities, colors, active,
+    w2c) -> dict(color (H,W,C), depth, final_t, radii (N,), overflow) whose
+    N-axis inputs are sharded over 'model' (divisible by the mesh size).
+    """
+    st = settings
+    ts = st.tile_size
+    ntx = -(-camera.width // ts)
+    nty = -(-camera.height // ts)
+    n_tiles = ntx * nty
+    d_model = mesh.shape["model"]
+    assert n_tiles % d_model == 0, (n_tiles, d_model)
+    tpd = n_tiles // d_model
+    pix_x, pix_y = tile_pixel_coords(ntx, nty, ts)
+
+    def shard_fn(means_w, scales, quats, opacities, colors, active, w2c):
+        mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
+        prep = preprocess(mc, scales, quats, camera, active=active)
+        bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                        camera.width, camera.height, ts, st.max_per_tile)
+        feat = pack_blend_features(prep, opacities, colors)
+        packed = feat[bins.table]                           # (T, K, F)
+        score = jnp.where(bins.slot_valid, -packed[..., 6], -jnp.inf)
+
+        valid, (merged,), n_cand = _merge_shard_tiles(
+            score, packed, axis_name="model", k=st.max_per_tile)
+        merge_overflow = jnp.sum(jnp.maximum(n_cand - st.max_per_tile, 0))
+        overflow = jax.lax.psum(bins.overflow, "model") + merge_overflow
+
+        dev = jax.lax.axis_index("model")
+        t0 = dev * tpd
+        merged_l = jax.lax.dynamic_slice_in_dim(merged, t0, tpd, 0)
+        valid_l = jax.lax.dynamic_slice_in_dim(valid, t0, tpd, 0)
+        px_l = jax.lax.dynamic_slice_in_dim(pix_x, t0, tpd, 0)
+        py_l = jax.lax.dynamic_slice_in_dim(pix_y, t0, tpd, 0)
+        t_final, c_acc, med = blend_packed(st, merged_l, valid_l, px_l, py_l)
+        return c_acc, t_final, med, prep.radius, overflow
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("model"), P("model"), P("model"), P("model"), P("model"),
+                  P("model"), P()),
+        out_specs=(P("model"), P("model"), P("model"), P("model"), P()),
+        check_vma=False)
+
+    @jax.jit
+    def run(means_w, scales, quats, opacities, colors, active, w2c, bg=None):
+        c_acc, t_final, med, radii, overflow = fn(
+            means_w, scales, quats, opacities, colors, active, w2c)
+        cch = colors.shape[-1]
+        if bg is None:
+            bg = jnp.zeros((cch,), jnp.float32)
+        out = c_acc + t_final[:, :, None] * bg[None, None, :]
+        img = _tiles_to_image(out, nty, ntx, ts, camera.height, camera.width)
+        depth = _tiles_to_image(med, nty, ntx, ts, camera.height,
+                                camera.width)
+        ft = _tiles_to_image(t_final, nty, ntx, ts, camera.height,
+                             camera.width)
+        return dict(color=img, depth=depth, final_t=ft, radii=radii,
+                    overflow=overflow)
+
+    return run
+
+
+def fisher_diag_gaussian_sharded(mesh: Mesh, camera: Camera,
+                                 settings: RenderSettings = RenderSettings(),
+                                 grad_value: float = 1e-3):
+    """Gaussian-axis sharded Fisher diagonal: the compute_Hessian analog
+    for maps sharded over 'model' (SURVEY.md §2.9 (3): "psum the ...
+    Hessian accumulations over ICI").
+
+    Same merge as render_gaussian_sharded but carrying GLOBAL Gaussian
+    indices through the sort; each device runs the squared-backward core
+    on its tile shard, scattering into a full-capacity accumulator, then a
+    psum_scatter returns each device its own Gaussians' Hessian rows.
+
+    Returns a jitted fn(means_w, scales, quats, opacities, colors, active,
+    w2c) -> dict(H (N, 4), radii (N,), visible (N,)), N-axis sharded over
+    'model'.
+    """
+    st = settings
+    ts = st.tile_size
+    ntx = -(-camera.width // ts)
+    nty = -(-camera.height // ts)
+    n_tiles = ntx * nty
+    d_model = mesh.shape["model"]
+    assert n_tiles % d_model == 0, (n_tiles, d_model)
+    tpd = n_tiles // d_model
+    pix_x, pix_y = tile_pixel_coords(ntx, nty, ts)
+
+    def shard_fn(means_w, scales, quats, opacities, colors, active, w2c):
+        n_local = means_w.shape[0]
+        mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
+        prep = preprocess(mc, scales, quats, camera, active=active)
+        bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                        camera.width, camera.height, ts, st.max_per_tile)
+        packed = _pack_params(prep, bins, opacities, colors, mc)
+        dev = jax.lax.axis_index("model")
+        gidx = bins.table + dev * n_local                   # global indices
+        score = jnp.where(bins.slot_valid, -packed[..., 6], -jnp.inf)
+
+        valid, (merged, gidx_m), _n_cand = _merge_shard_tiles(
+            score, packed, gidx, axis_name="model", k=st.max_per_tile)
+
+        t0 = dev * tpd
+        merged_l = jax.lax.dynamic_slice_in_dim(merged, t0, tpd, 0)
+        gidx_l = jax.lax.dynamic_slice_in_dim(gidx_m, t0, tpd, 0)
+        valid_l = jax.lax.dynamic_slice_in_dim(valid, t0, tpd, 0)
+        px_l = jax.lax.dynamic_slice_in_dim(pix_x, t0, tpd, 0)
+        py_l = jax.lax.dynamic_slice_in_dim(pix_y, t0, tpd, 0)
+
+        h_full = fisher_core(st, camera, merged_l, gidx_l, valid_l,
+                             px_l, py_l, n_local * d_model, grad_value)
+        h_local = jax.lax.psum_scatter(h_full, "model", scatter_dimension=0,
+                                       tiled=True)          # (n_local, 4)
+        return h_local, prep.radius, prep.radius > 0
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("model"), P("model"), P("model"), P("model"), P("model"),
+                  P("model"), P()),
+        out_specs=(P("model"), P("model"), P("model")),
+        check_vma=False)
+
+    @jax.jit
+    def run(means_w, scales, quats, opacities, colors, active, w2c):
+        h, radii, visible = fn(means_w, scales, quats, opacities, colors,
+                               active, w2c)
+        return dict(H=h, radii=radii, visible=visible)
+
+    return run
 
 
 def full_train_step(mesh: Mesh, camera: Camera, settings: RenderSettings,

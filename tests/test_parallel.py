@@ -90,3 +90,79 @@ def test_mapping_step_sharded_reduces_loss(tmp_path):
 def test_mesh_shapes():
     mesh = make_mesh(data=4, model=2)
     assert mesh.shape == {"data": 4, "model": 2}
+
+
+def _random_gaussians(n, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.stack([rng.uniform(-2, 2, n), rng.uniform(0, 2.0, n),
+                      rng.uniform(0.5, 6.0, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.02, 0.1, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    active = np.ones((n,), bool)
+    active[-n // 8:] = False            # some inactive slots on one shard
+    return (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(active))
+
+
+def test_render_gaussian_sharded_matches_single():
+    """Gaussian-axis ('model') sharded render == single-device render: the
+    per-device nearest-K union contains the global nearest-K, so the merge
+    is exact (SURVEY.md §2.9 equivalent (3))."""
+    from fisher_nerf_customized_tpu.ops.rasterize import (RenderSettings,
+                                                          render)
+    from fisher_nerf_customized_tpu.parallel import render_gaussian_sharded
+
+    cam = Camera(fx=32.0, fy=32.0, cx=32.0, cy=32.0, width=64, height=64)
+    st = RenderSettings(tile_size=8, max_per_tile=64, chunk=16)
+    mesh = make_mesh(data=1, model=8)
+    means, scales, quats, opac, colors, active = _random_gaussians(2048)
+    w2c = jnp.eye(4)
+
+    sharded_fn = render_gaussian_sharded(mesh, cam, st)
+    out_s = sharded_fn(means, scales, quats, opac, colors, active, w2c)
+
+    mc = means @ w2c[:3, :3].T + w2c[:3, 3]
+    out_r = render(cam, mc, scales, quats, opac, colors,
+                   active=active, settings=st)
+
+    np.testing.assert_allclose(np.asarray(out_s["color"]),
+                               np.asarray(out_r["color"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s["depth"]),
+                               np.asarray(out_r["depth"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s["final_t"]),
+                               np.asarray(out_r["final_t"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_s["radii"]),
+                                  np.asarray(out_r["radii"]))
+
+
+def test_fisher_gaussian_sharded_matches_single():
+    """Sharded Fisher diag (psum_scatter'd accumulator) == fisher_diag."""
+    from fisher_nerf_customized_tpu.ops.fisher import fisher_diag
+    from fisher_nerf_customized_tpu.ops.rasterize import RenderSettings
+    from fisher_nerf_customized_tpu.parallel import (
+        fisher_diag_gaussian_sharded)
+
+    cam = Camera(fx=32.0, fy=32.0, cx=32.0, cy=32.0, width=64, height=64)
+    st = RenderSettings(tile_size=8, max_per_tile=64, chunk=16)
+    mesh = make_mesh(data=1, model=8)
+    means, scales, quats, opac, colors, active = _random_gaussians(2048,
+                                                                   seed=3)
+    w2c = jnp.eye(4)
+
+    sharded_fn = fisher_diag_gaussian_sharded(mesh, cam, st)
+    out_s = sharded_fn(means, scales, quats, opac, colors, active, w2c)
+
+    mc = means @ w2c[:3, :3].T + w2c[:3, 3]
+    out_r = fisher_diag(cam, mc, scales, quats, opac, colors,
+                        active=active, settings=st)
+
+    np.testing.assert_allclose(np.asarray(out_s["H"]),
+                               np.asarray(out_r["H"]),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(out_s["visible"]),
+                                  np.asarray(out_r["visible"]))
