@@ -57,6 +57,7 @@ def build():
     cfg.path_end_weight = 30.0
     cfg.tpu.capacity = 32768
     cfg.tpu.pose_chunk = 32
+    cfg.tpu.mapping_frames_per_iter = 2
 
     cam = Camera(fx=128.0, fy=128.0, cx=128.0, cy=128.0, width=256,
                  height=256)

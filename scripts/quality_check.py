@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build(policy: str, steps: int, seed: int = 11):
+def build(policy: str, steps: int, seed: int = 11,
+          frames_per_iter: int = 1):
     from fisher_nerf_customized_tpu.config import get_cfg_defaults
     from fisher_nerf_customized_tpu.engine import ActiveMapper
     from fisher_nerf_customized_tpu.envs.fake_sim import BoxScene, FakeSim
@@ -52,6 +53,7 @@ def build(policy: str, steps: int, seed: int = 11):
     cfg.H_reg_lambda = 1e-6
     cfg.path_end_weight = 30.0
     cfg.tpu.pose_chunk = 32
+    cfg.tpu.mapping_frames_per_iter = frames_per_iter
 
     cam = Camera(fx=128.0, fy=128.0, cx=128.0, cy=128.0,
                  width=256, height=256)
@@ -61,10 +63,10 @@ def build(policy: str, steps: int, seed: int = 11):
     return mapper, scene
 
 
-def run_policy(policy: str, steps: int):
+def run_policy(policy: str, steps: int, frames_per_iter: int = 1):
     from fisher_nerf_customized_tpu.engine.eval import eval_navigation
 
-    mapper, scene = build(policy, steps)
+    mapper, scene = build(policy, steps, frames_per_iter=frames_per_iter)
     gt = scene.sample_surface_points(100000)
     t0 = time.perf_counter()
     result = mapper.test_navigation(eval_every=0, recon_gt_points=gt)
@@ -91,11 +93,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=240)
     ap.add_argument("--policies", default="gaussians_based,frontier")
+    ap.add_argument("--frames_per_iter", type=int, default=1)
     args = ap.parse_args()
     from fisher_nerf_customized_tpu.utils.jax_cache import (
         enable_persistent_cache)
     enable_persistent_cache()
-    rows = [run_policy(p.strip(), args.steps)
+    rows = [run_policy(p.strip(), args.steps, args.frames_per_iter)
             for p in args.policies.split(",")]
     for r in rows:
         print(json.dumps(r))
