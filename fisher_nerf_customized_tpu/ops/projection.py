@@ -20,7 +20,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .camera import Camera
-from ..utils.geometry import quat_to_rotmat
 
 
 class Preprocessed(NamedTuple):
@@ -32,20 +31,44 @@ class Preprocessed(NamedTuple):
     valid: jnp.ndarray       # (N,)   bool
 
 
-def build_cov3d(scales, quats):
-    """Σ = R diag(s²) Rᵀ, packed (N, 6) as [xx, xy, xz, yy, yz, zz].
+def _cov3d_cols(scales, quats):
+    """Σ = R diag(s²) Rᵀ as SIX (N,) columns [xx, xy, xz, yy, yz, zz].
 
-    (reference forward.cu:119 computeCov3D; quaternions are wxyz and get
-    normalized inside quat_to_rotmat.)
+    Structure-of-arrays on purpose: (N, 3, 3) intermediates put the
+    batch axis on sublanes and a 3x3 matrix on the 128-wide lane axis —
+    ~3% lane utilization; measured 6.25 ms for preprocess at N=131k on
+    v5e.  Scalar column math keeps every op (N,)-shaped and fully
+    lane-parallel.  (reference forward.cu:119 computeCov3D; quaternions
+    wxyz, normalized first as in slam_external.py:25.)
     """
-    R = quat_to_rotmat(quats)                       # (N, 3, 3)
-    S2 = scales * scales                            # (N, 3)
-    # Σ_ij = Σ_k R_ik s_k² R_jk
-    M = R * S2[:, None, :]
-    cov = jnp.einsum("nik,njk->nij", M, R)
-    return jnp.stack(
-        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
-         cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]], axis=-1)
+    w, x, y, z = (quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3])
+    inv = 1.0 / jnp.sqrt(w * w + x * x + y * y + z * z)
+    w, x, y, z = w * inv, x * inv, y * inv, z * inv
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = scales[:, 0] * scales[:, 0]
+    s1 = scales[:, 1] * scales[:, 1]
+    s2 = scales[:, 2] * scales[:, 2]
+    # Σ_ij = Σ_k s_k² R_ik R_jk
+    c_xx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    c_xy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    c_xz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    c_yy = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    c_yz = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    c_zz = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    return c_xx, c_xy, c_xz, c_yy, c_yz, c_zz
+
+
+def build_cov3d(scales, quats):
+    """Σ = R diag(s²) Rᵀ, packed (N, 6) as [xx, xy, xz, yy, yz, zz]."""
+    return jnp.stack(_cov3d_cols(scales, quats), axis=-1)
 
 
 def project_cov2d(means_cam, cov3d, camera: Camera):
@@ -71,7 +94,10 @@ def project_cov2d(means_cam, cov3d, camera: Camera):
     j11 = fy / z
     j12 = -fy * ty / (z * z)
 
-    c0, c1, c2, c3, c4, c5 = [cov3d[:, i] for i in range(6)]
+    if isinstance(cov3d, tuple):
+        c0, c1, c2, c3, c4, c5 = cov3d               # SoA columns
+    else:
+        c0, c1, c2, c3, c4, c5 = [cov3d[:, i] for i in range(6)]
     # rows of (Σ Jᵀ) needed: Σ has rows (c0,c1,c2),(c1,c3,c4),(c2,c4,c5)
     # a = J0 Σ J0ᵀ, b = J0 Σ J1ᵀ, c = J1 Σ J1ᵀ
     s00 = c0 * j00 + c2 * j02          # (Σ J0ᵀ)_x
@@ -82,9 +108,13 @@ def project_cov2d(means_cam, cov3d, camera: Camera):
     s11 = c3 * j11 + c4 * j12
     s12 = c4 * j11 + c5 * j12
     c_ = j11 * s11 + j12 * s12 + 0.3
-    cov2d = jnp.stack([a, b, c_], axis=-1)
-    t = jnp.stack([tx, ty, z], axis=-1)
-    return cov2d, t
+    return (a, b, c_), (tx, ty, z)
+
+
+def project_cov2d_packed(means_cam, cov3d, camera: Camera):
+    """project_cov2d with (N, 3)-packed outputs (compat wrapper)."""
+    (a, b, c_), (tx, ty, z) = project_cov2d(means_cam, cov3d, camera)
+    return jnp.stack([a, b, c_], axis=-1), jnp.stack([tx, ty, z], axis=-1)
 
 
 def preprocess(means_cam, scales, quats, camera: Camera,
@@ -101,9 +131,9 @@ def preprocess(means_cam, scales, quats, camera: Camera,
     z = means_cam[:, 2]
     in_front = z > camera.near
 
-    cov3d = build_cov3d(scales, quats)
-    cov2d, _t = project_cov2d(means_cam, cov3d, camera)
-    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    cov3d = _cov3d_cols(scales, quats)               # SoA: stays (N,)-shaped
+    (a, b, c), _t = project_cov2d(means_cam, cov3d, camera)
+    cov2d = jnp.stack([a, b, c], axis=-1)
     det = a * c - b * b
     det_ok = det > 0.0
     det_safe = jnp.where(det_ok, det, 1.0)
