@@ -226,6 +226,8 @@ def get_cfg_defaults() -> ConfigNode:
         mapping_frames_per_iter=1,  # >1: minibatch mapping (TPU upgrade;
                                     # 1 = reference one-frame-per-iter)
         fisher_mode="sq_chain",    # sq_chain | hutchinson
+        fisher_engine="auto",      # auto | pallas | xla (auto: pallas on
+                                   # real TPU, xla on the CPU test backend)
         hutchinson_probes=8,
         mesh_axes=dict(data=1, model=1),
         use_pallas=False,          # Pallas blend kernel fast path

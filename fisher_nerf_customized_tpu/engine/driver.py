@@ -280,7 +280,7 @@ class ActiveMapper:
                     float(self.cfg.path_point_weight),
                     float(self.cfg.path_end_weight),
                     bool(self.cfg.vol_weighted_H),
-                    float(slam.gs_pts_cnt()))
+                    float(slam.gs_pts_cnt()), slam.fisher_engine)
                 best = int(np.argmax(np.asarray(scores)[:n_paths]))
 
         self.last_goal = goals[best]

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..models.gaussian_state import GaussianState
 from ..ops.camera import Camera
-from ..ops.fisher import fisher_diag
+from ..ops.fisher import fisher_diag_dispatch
 from ..ops.rasterize import RenderSettings
 
 
@@ -41,12 +41,12 @@ def acc_step_indices(n_actions: int, acc_every: int) -> list[int]:
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings",
-                                             "vol_weighted"))
+                                             "vol_weighted", "engine"))
 def path_eig_scores(state: GaussianState, h_train, acc_w2cs, acc_valid,
                     lengths, final_eigs, camera: Camera,
                     settings: RenderSettings, h_reg_lambda,
                     path_pose_weight, path_point_weight, path_end_weight,
-                    vol_weighted: bool, gs_pts_cnt):
+                    vol_weighted: bool, gs_pts_cnt, engine: str = "xla"):
     """Scores (P,) for P padded paths.
 
     acc_w2cs: (P, A', 4, 4) world->cam at the ACC steps only (see
@@ -64,8 +64,9 @@ def path_eig_scores(state: GaussianState, h_train, acc_w2cs, acc_valid,
 
     def fisher_at(w2c):
         mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
-        return fisher_diag(camera, mc, scales, quats, opac, colors,
-                           active=active, settings=settings)["H"]
+        return fisher_diag_dispatch(engine, camera, mc, scales, quats, opac,
+                                    colors, active=active,
+                                    settings=settings)["H"]
 
     def step(carry, inp):
         h_paths, totals = carry                # (P,N,4), (P,)

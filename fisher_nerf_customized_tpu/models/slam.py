@@ -382,9 +382,9 @@ def _render_pose(state: GaussianState, w2c, camera: Camera,
                         bg_white=white_bg)
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "settings"))
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "engine"))
 def _fisher_batch(state: GaussianState, w2cs, camera: Camera,
-                  settings: RenderSettings):
+                  settings: RenderSettings, engine: str = "xla"):
     params = state.params()
     means_w = params["means3D"]
     scales = jnp.exp(params["log_scales"])
@@ -393,13 +393,13 @@ def _fisher_batch(state: GaussianState, w2cs, camera: Camera,
     return fisher_diag_batch(camera, w2cs, means_w, scales,
                              params["unnorm_rotations"], opac,
                              params["rgb_colors"], active=active,
-                             settings=settings)
+                             settings=settings, engine=engine)
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "settings"))
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "engine"))
 def _pose_scores(state: GaussianState, w2cs, h_train_inv, camera: Camera,
-                 settings: RenderSettings):
-    out = _fisher_batch(state, w2cs, camera, settings)
+                 settings: RenderSettings, engine: str = "xla"):
+    out = _fisher_batch(state, w2cs, camera, settings, engine)
     return jnp.sum(out["H"] * h_train_inv[None], axis=(1, 2))
 
 
@@ -426,6 +426,9 @@ class GaussianSLAM:
             max_per_tile=int(tpu.get("fisher_max_per_tile", tpu.max_per_tile)),
             chunk=min(64, int(tpu.get("fisher_max_per_tile", tpu.max_per_tile))),
             max_depth=float(tpu.max_depth))
+        from ..ops.fisher import resolve_fisher_engine
+        self.fisher_engine = resolve_fisher_engine(
+            str(tpu.get("fisher_engine", "auto")))
         mp = cfg.mapping
         self.mc = MappingConfig(
             num_iters=int(mp.num_iters),
@@ -774,7 +777,7 @@ class GaussianSLAM:
         (gaussian.py:1570)."""
         w2c = jnp.asarray(np.asarray(rel_w2c, np.float32))
         out = _fisher_batch(self.state, w2c[None], self.camera,
-                            self.fisher_settings)
+                            self.fisher_settings, self.fisher_engine)
         h = out["H"][0]
         if not return_points:
             h = h.reshape(-1)
@@ -839,7 +842,7 @@ class GaussianSLAM:
             if pad:
                 chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
             out = _fisher_batch(self.state, jnp.asarray(chunk), self.camera,
-                                self.fisher_settings)
+                                self.fisher_settings, self.fisher_engine)
             h = out["H"][: len(w2cs[i:i + ck])] if pad else out["H"]
             h_train = h_train + jnp.sum(h, axis=0)
         return h_train
@@ -864,7 +867,8 @@ class GaussianSLAM:
                     [chunk, np.tile(np.eye(4, dtype=np.float32),
                                     (ck - n_real, 1, 1))])
             s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
-                             self.camera, self.fisher_settings)
+                             self.camera, self.fisher_settings,
+                             self.fisher_engine)
             chunks.append((s, n_real))
 
         def resolve():
@@ -973,7 +977,7 @@ class GaussianSLAM:
                 chunk = np.concatenate([chunk, np.tile(
                     np.eye(4, dtype=np.float32), (ck - n_real, 1, 1))])
             out = _fisher_batch(self.state, jnp.asarray(chunk), self.camera,
-                                self.fisher_settings)
+                                self.fisher_settings, self.fisher_engine)
             seen |= np.asarray(out["visible"][:n_real]).any(axis=0)
         removed = int(self.n_active - seen[: self.n_active].sum())
         self.state, _ = prune_compact(self.state, jnp.asarray(seen))

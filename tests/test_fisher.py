@@ -148,3 +148,31 @@ def test_fisher_higher_for_novel_view():
     # informative but here we just check the scoring machinery is sane)
     score_same = np.sum(h_same / (h_train + 0.1))
     assert np.isfinite(score_same) and score_same > 0
+
+
+def test_pallas_fisher_matches_xla_interpret():
+    """The Pallas early-terminating Fisher kernel (interpret mode on CPU)
+    must match the XLA two-pass core (ops/fisher.fisher_diag)."""
+    import numpy as np
+    from fisher_nerf_customized_tpu.ops.pallas_fisher import (
+        fisher_diag_pallas)
+
+    rng = np.random.default_rng(7)
+    n = 1200
+    cam = Camera(fx=32.0, fy=32.0, cx=32.0, cy=32.0, width=64, height=64)
+    st = RenderSettings(tile_size=8, max_per_tile=64, chunk=16)
+    means = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1, 2, n),
+                      rng.uniform(0.5, 6, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.02, 0.1, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    args = tuple(jnp.asarray(a) for a in (means, scales, quats, opac,
+                                          colors))
+
+    ref = fisher_diag(cam, *args, settings=st)
+    out = fisher_diag_pallas(cam, *args, settings=st, interpret=True)
+    np.testing.assert_allclose(np.asarray(out["H"]), np.asarray(ref["H"]),
+                               rtol=5e-3, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(out["visible"]),
+                                  np.asarray(ref["visible"]))
