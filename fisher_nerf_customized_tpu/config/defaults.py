@@ -228,6 +228,8 @@ def get_cfg_defaults() -> ConfigNode:
         fisher_mode="sq_chain",    # sq_chain | hutchinson
         fisher_engine="auto",      # auto | pallas | xla (auto: pallas on
                                    # real TPU, xla on the CPU test backend)
+        blend_backward="auto",     # auto | pallas | xla: backward engine
+                                   # for the mapping/tracking blend VJP
         hutchinson_probes=8,
         mesh_axes=dict(data=1, model=1),
         use_pallas=False,          # Pallas blend kernel fast path

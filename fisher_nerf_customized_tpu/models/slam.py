@@ -415,9 +415,13 @@ class GaussianSLAM:
                              cx=float(calib.cx), cy=float(calib.cy),
                              width=int(calib.width), height=int(calib.height))
         tpu = cfg.tpu
+        from ..ops.fisher import resolve_fisher_engine
+        diff_backend = resolve_fisher_engine(
+            str(tpu.get("blend_backward", "auto")))
         self.settings = RenderSettings(tile_size=int(tpu.tile_size),
                                        max_per_tile=int(tpu.max_per_tile),
                                        chunk=min(64, int(tpu.max_per_tile)),
+                                       diff_backend=diff_backend,
                                        max_depth=float(tpu.max_depth))
         # Fisher/EIG renders use bigger tiles: binning buffers scale with
         # the tile count, and the pose batch is vmapped over them
@@ -426,7 +430,6 @@ class GaussianSLAM:
             max_per_tile=int(tpu.get("fisher_max_per_tile", tpu.max_per_tile)),
             chunk=min(64, int(tpu.get("fisher_max_per_tile", tpu.max_per_tile))),
             max_depth=float(tpu.max_depth))
-        from ..ops.fisher import resolve_fisher_engine
         self.fisher_engine = resolve_fisher_engine(
             str(tpu.get("fisher_engine", "auto")))
         mp = cfg.mapping

@@ -38,6 +38,11 @@ class RenderSettings(NamedTuple):
     max_per_tile: int = 512
     chunk: int = 64
     max_depth: float = 15.0   # median-depth fallback (forward.cu:308)
+    # "xla": differentiate the blend scan with JAX AD (jax.checkpoint);
+    # "pallas": analytic per-slot backward kernel with early termination
+    # (ops/pallas_blend_bwd.py) — the reference's hand-written backward.cu
+    # equivalent.  Forward math is identical either way.
+    diff_backend: str = "xla"
 
 
 def pack_blend_features(prep, opacities, colors):
@@ -80,6 +85,9 @@ def _blend_tiles(camera: Camera, st: RenderSettings, prep, bins,
     feat = pack_blend_features(prep, opacities, colors)
     packed = feat[bins.table]                        # (T, K, 7+C)
     pix_x, pix_y = tile_pixel_coords(ntx, nty, ts)
+    if st.diff_backend == "pallas":
+        return blend_packed_pallas_bwd(st, packed, bins.slot_valid,
+                                       pix_x, pix_y)
     return blend_packed(st, packed, bins.slot_valid, pix_x, pix_y)
 
 
@@ -233,3 +241,54 @@ def render(camera: Camera, means_cam, scales, quats, opacities, colors,
                               camera.height, camera.width)
     return dict(color=img, depth=depth, final_t=final_t, radii=prep.radius,
                 overflow=bins.overflow)
+
+
+# ---- custom-VJP blend: XLA forward, Pallas analytic backward --------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def blend_packed_pallas_bwd(st: RenderSettings, packed, slot_valid,
+                            pix_x, pix_y):
+    """blend_packed with the backward pass replaced by the analytic
+    per-slot Pallas kernel (ops/pallas_blend_bwd.py) — the grad_power=1
+    equivalent of the reference's hand-written backward.cu, with in-kernel
+    early termination.  Forward outputs are bit-identical to blend_packed.
+
+    Gradient notes (documented differences from strict JAX-AD of the
+    scan, both matching the CUDA reference's conventions):
+      * the alpha=0.99 clamp does not gate gradients (backward.cu
+        recomputes alpha without a saturation mask);
+      * the median-depth output is treated as a measurement (zero
+        gradient; in the XLA path its comparisons also yield zero);
+      * contributions past the T<1e-4 early-termination point are
+        dropped (renderCUDA's `done` latch drops them too)."""
+    return blend_packed(st, packed, slot_valid, pix_x, pix_y)
+
+
+def _bppb_fwd(st, packed, slot_valid, pix_x, pix_y):
+    out = blend_packed(st, packed, slot_valid, pix_x, pix_y)
+    return out, (packed, slot_valid, pix_x, pix_y)
+
+
+def _bppb_bwd(st, res, cotangents):
+    from .pallas_blend_bwd import pallas_blend_bwd_slots
+    packed, slot_valid, pix_x, pix_y = res
+    g_t, g_col, _g_med = cotangents          # (T,P), (T,P,C), (T,P)
+    # fold validity into the kernel's convention (zero opacity => alpha 0)
+    val = slot_valid[..., None].astype(packed.dtype)
+    packed_k = packed.at[..., 5:6].multiply(val)
+    pix_xy = jnp.stack([pix_x, pix_y], axis=1)                # (T, 2, P)
+    slots = pallas_blend_bwd_slots(packed_k, pix_xy, g_col,
+                                   g_t[:, None, :], st.chunk)
+    cch = packed.shape[-1] - 7
+    zeros_dep = jnp.zeros(slots.shape[:-1] + (1,), slots.dtype)
+    d_packed = jnp.concatenate([
+        slots[..., 0:2],                      # d mean2d
+        slots[..., 2:5],                      # d conic
+        slots[..., 5:6],                      # d opacity
+        zeros_dep,                            # d depth (measurement)
+        slots[..., 6:6 + cch],                # d colors
+    ], axis=-1)
+    d_packed = jnp.where(slot_valid[..., None], d_packed, 0.0)
+    return (d_packed, None, None, None)
+
+
+blend_packed_pallas_bwd.defvjp(_bppb_fwd, _bppb_bwd)

@@ -211,3 +211,45 @@ def test_render_prebinned_differentiable_wrt_params():
     assert float(jnp.abs(g_m).sum()) > 0
     assert float(jnp.abs(g_o).sum()) > 0
     assert float(jnp.abs(g_c).sum()) > 0
+
+
+def test_pallas_blend_backward_matches_ad(monkeypatch):
+    """diff_backend='pallas' (analytic per-slot backward kernel, interpret
+    mode on CPU) must match JAX AD through the blend scan for every
+    parameter group, including the background/final_t path."""
+    import fisher_nerf_customized_tpu.ops.pallas_blend_bwd as pbb
+
+    orig = pbb.pallas_blend_bwd_slots
+    monkeypatch.setattr(
+        pbb, "pallas_blend_bwd_slots",
+        lambda packed, pix_xy, gcol, gt, chunk, interpret=False:
+        orig(packed, pix_xy, gcol, gt, chunk, interpret=True))
+
+    rng = np.random.default_rng(3)
+    n = 800
+    cam = Camera(fx=32.0, fy=32.0, cx=32.0, cy=32.0, width=64, height=64)
+    means = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1, 2, n),
+                      rng.uniform(0.5, 6, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.02, 0.1, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.85, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    args = [jnp.asarray(a) for a in (means, scales, quats, opac, colors)]
+    target = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)), jnp.float32)
+    bg = jnp.asarray([0.3, 0.2, 0.1], jnp.float32)
+
+    def loss_with(st):
+        def f(mc, sc, qt, op, co):
+            out = render(cam, mc, sc, qt, op, co, bg=bg, settings=st)
+            return jnp.mean(jnp.abs(out["color"] - target))
+        return f
+
+    st_x = RenderSettings(tile_size=8, max_per_tile=64, chunk=16)
+    st_p = st_x._replace(diff_backend="pallas")
+    gx = jax.grad(loss_with(st_x), argnums=(0, 1, 2, 3, 4))(*args)
+    gp = jax.grad(loss_with(st_p), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gx, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-12)
+        np.testing.assert_allclose(b, a, rtol=2e-2,
+                                   atol=1e-6 * scale + 1e-10)
