@@ -75,6 +75,8 @@ class ActiveMapper:
         self.pipeline_planning = bool(cfg.tpu.get("pipeline_planning", False))
         self.plan_watermark = int(cfg.tpu.get("plan_watermark", 2))
         self._plan_prep = None
+        self._inc_recon = None
+        self._pcl_cursor = 0
         self.step_log: list[dict] = []
         self.cm = get_cluster_manager()
         self.timer = StepTimer()
@@ -400,8 +402,9 @@ class ActiveMapper:
                     self.upen.init(pose)
                 self.upen.observe(obs["depth"], self.sim.intrinsics, pose,
                                   cam_height=float(c2w[1, 3]))
-            self.global_pcl.add_frame(obs["depth"], self.sim.intrinsics, c2w,
-                                      color=obs["rgb"])
+            with self.timer.phase("pcl"):
+                self.global_pcl.add_frame(obs["depth"], self.sim.intrinsics,
+                                          c2w, color=obs["rgb"])
 
             if self.traj_actions is not None:
                 if t >= len(self.traj_actions):
@@ -429,7 +432,8 @@ class ActiveMapper:
 
             prev_pos = self.sim.c2w[:3, 3].copy() if hasattr(self.sim, "c2w") \
                 else c2w[:3, 3].copy()
-            obs = self.sim.step(action)
+            with self.timer.phase("sim_step"):
+                obs = self.sim.step(action)
             # stuck detection (reference tester:1144-1172)
             if action == 1:
                 moved = np.linalg.norm(obs["c2w"][:3, 3] - prev_pos)
@@ -441,12 +445,19 @@ class ActiveMapper:
                         break
 
             if recon_gt_points is not None and t % 25 == 0:
-                est = self.global_pcl.get()
-                m = accuracy_comp_ratio_from_pcl(est, recon_gt_points, 0.05)
-                self.metrics.record(t, **m)
-                self.mlog.log(t, **m, n_gaussians=self.slam.n_active)
+                with self.timer.phase("recon_metric"):
+                    if self._inc_recon is None:
+                        from .eval import IncrementalReconMetric
+                        self._inc_recon = IncrementalReconMetric(
+                            recon_gt_points, 0.05)
+                    new_pts, self._pcl_cursor = self.global_pcl.get_new(
+                        self._pcl_cursor)
+                    m = self._inc_recon.update(new_pts)
+                    self.metrics.record(t, **m)
+                    self.mlog.log(t, **m, n_gaussians=self.slam.n_active)
             if self.habvis is not None:
-                self.habvis.update_fow_sim(obs["c2w"])
+                with self.timer.phase("habvis"):
+                    self.habvis.update_fow_sim(obs["c2w"])
                 if self.dynamic_scene and getattr(self.sim, "dynamic_object",
                                                   None) is not None:
                     self.habvis.update_object(

@@ -179,6 +179,16 @@ class GlobalPointCloud:
             return np.zeros((0, 3), np.float32)
         return np.concatenate(self.points)
 
+    def get_new(self, cursor: int):
+        """Points appended since `cursor` (a chunk index from a previous
+        call) and the new cursor — the append-only feed for incremental
+        reconstruction metrics (engine/eval.IncrementalReconMetric)."""
+        self._drain_pending()
+        chunks = self.points[cursor:]
+        pts = (np.concatenate(chunks) if chunks
+               else np.zeros((0, 3), np.float32))
+        return pts, len(self.points)
+
     def save_ply(self, path: str):
         cols = np.concatenate(self.colors) if self.colors else None
         write_ply(path, self.get(), cols)

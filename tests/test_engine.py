@@ -201,3 +201,22 @@ def test_pipeline_planning_optin(tmp_path):
     result = mapper.test_navigation(eval_every=0)
     assert result["steps"] >= 10
     assert mapper.slam.n_active > 0
+
+
+def test_incremental_recon_matches_oneshot():
+    """IncrementalReconMetric over appended batches == one-shot
+    accuracy_comp_ratio_from_pcl on the concatenated cloud."""
+    from fisher_nerf_customized_tpu.engine.eval import (
+        IncrementalReconMetric, accuracy_comp_ratio_from_pcl)
+
+    rng = np.random.default_rng(5)
+    gt = rng.uniform(-2, 2, (5000, 3)).astype(np.float32)
+    batches = [rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+               for n in (800, 1200, 0, 600)]
+    inc = IncrementalReconMetric(gt, 0.05)
+    for b in batches:
+        m_inc = inc.update(b)
+    m_ref = accuracy_comp_ratio_from_pcl(np.concatenate(batches), gt, 0.05)
+    for k in m_ref:
+        np.testing.assert_allclose(m_inc[k], m_ref[k], rtol=1e-6,
+                                   err_msg=k)
