@@ -58,6 +58,17 @@ def build():
     cfg.tpu.capacity = 32768
     cfg.tpu.pose_chunk = 32
     cfg.tpu.mapping_frames_per_iter = 2
+    # ad-hoc overrides for A/B runs: BENCH_SET="tpu.pipeline_planning=True"
+    import os
+    for kv in os.environ.get("BENCH_SET", "").split(","):
+        if not kv.strip():
+            continue
+        key, val = kv.split("=")
+        node = cfg
+        parts = key.strip().split(".")
+        for p_ in parts[:-1]:
+            node = getattr(node, p_)
+        setattr(node, parts[-1], eval(val))
 
     cam = Camera(fx=128.0, fy=128.0, cx=128.0, cy=128.0, width=256,
                  height=256)

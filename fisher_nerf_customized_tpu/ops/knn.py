@@ -25,6 +25,14 @@ def knn(queries, refs, k: int = 1, ref_mask=None, chunk: int = 65536):
     queries: (Q, D), refs: (R, D), ref_mask: (R,) bool (inactive refs are
     +inf away).  Returns (dists (Q, k) — EUCLIDEAN, idx (Q, k) int32).
     """
+    # center on the ref centroid: |q-r|² is translation-invariant, and the
+    # q²+r²−2qr expansion cancels catastrophically when |p|² >> |q-r|²
+    # (room-scale coords vs cm-scale NN distances); HIGHEST matmul
+    # precision for the same reason — the default TPU f32 dot rounds
+    # through bf16 passes, which alone skewed 5 cm coverage by ~5 points.
+    center = jnp.mean(refs, axis=0, keepdims=True)
+    queries = queries - center
+    refs = refs - center
     q2 = jnp.sum(queries * queries, axis=-1, keepdims=True)      # (Q, 1)
     r = refs.shape[0]
     n_chunks = -(-r // chunk)
@@ -39,7 +47,8 @@ def knn(queries, refs, k: int = 1, ref_mask=None, chunk: int = 65536):
         rc = jax.lax.dynamic_slice(refs_p, (r0, 0), (chunk, refs.shape[1]))
         mc = jax.lax.dynamic_slice(mask_p, (r0,), (chunk,))
         rc2 = jnp.sum(rc * rc, axis=-1)                          # (C,)
-        d2 = q2 + rc2[None, :] - 2.0 * (queries @ rc.T)          # (Q, C) MXU
+        d2 = q2 + rc2[None, :] - 2.0 * jax.lax.dot(
+            queries, rc.T, precision=jax.lax.Precision.HIGHEST)  # (Q, C) MXU
         d2 = jnp.where(mc[None, :], jnp.maximum(d2, 0.0), jnp.inf)
         # merge with running top-k
         cand_d = jnp.concatenate([best_d, d2], axis=1)           # (Q, k+C)
