@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug", action="store_true",
                    help="shrink init scans / iteration counts")
-    p.add_argument("--eval_poses", type=int, default=200)
+    # reference protocol: 2000 uniform navigable eval poses (tester:1372)
+    p.add_argument("--eval_poses", type=int, default=2000)
     p.add_argument("--save_data", action="store_true")
     # object branch flags (reference main.py:32-47 object_scene /
     # dynamic_scene / known_env)
@@ -102,6 +103,10 @@ def make_sim(args, cfg, scene_id: str):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
+    # multi-host process group (no-op on single host; reads
+    # JAX_COORDINATOR_ADDRESS / SLURM env — parallel/distributed.py)
+    from .parallel.distributed import init_distributed
+    init_distributed()
     from .utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
     from .engine import ActiveMapper

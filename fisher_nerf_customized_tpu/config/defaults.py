@@ -214,6 +214,9 @@ def get_cfg_defaults() -> ConfigNode:
         capacity=32768,            # initial Gaussian-state slot capacity
         capacity_growth=2,         # grow factor when slots run out
         pose_chunk=32,             # candidate poses evaluated per XLA launch
+        object_pose_chunk=8,       # object-branch pose batch (the 11-dim
+                                   # Hutchinson Hessian is ~3x wider than
+                                   # the scene Fisher diag)
         pipeline_planning=False,   # opt-in: dispatch candidate scoring at
                                    # a queue-low watermark. Measured ~zero
                                    # gain on a saturated device (scoring

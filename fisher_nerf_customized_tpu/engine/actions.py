@@ -73,13 +73,16 @@ def action_planning(global_points, current_agent_pose, planner,
                     gaussian_points, t, forward_step: float,
                     turn_angle: float, queue_size: int):
     """Plan A* paths + action sequences for each goal pose (reference
-    tester:2207).  Returns (valid_goals, path_actions, paths_arr)."""
-    valid_goals, path_actions, paths_arr = [], [], []
+    tester:2207).  Returns (valid_goals, path_actions, paths_arr,
+    goal_indices) — goal_indices[i] is the row of `global_points` that
+    produced valid_goals[i], so callers can look up per-goal scores
+    without re-matching poses."""
+    valid_goals, path_actions, paths_arr, goal_indices = [], [], [], []
     current_agent_pos = current_agent_pose[:3, 3]
     start = planner.convert_to_map(current_agent_pos[[0, 2]])[[1, 0]]
     planner.setup_start(start, gaussian_points, t)
 
-    for pose_np in np.asarray(global_points):
+    for gi, pose_np in enumerate(np.asarray(global_points)):
         pos = pose_np[:3, 3].copy()
         pos[1] = current_agent_pos[1]
         finish = planner.convert_to_map(pos[[0, 2]])[[1, 0]]
@@ -94,7 +97,8 @@ def action_planning(global_points, current_agent_pose, planner,
         path_actions.append(actions)
         valid_goals.append(pose_np)
         paths_arr.append(paths)
-    return valid_goals, path_actions, paths_arr
+        goal_indices.append(gi)
+    return valid_goals, path_actions, paths_arr, goal_indices
 
 
 def rollout_path_poses(current_agent_pose: np.ndarray, actions: list[int],

@@ -97,10 +97,24 @@ class ActiveMapper:
         obs = self.sim.get_observations()
         c2w = obs["c2w"]
         self.slam.init(obs["rgb"], obs["depth"], np.linalg.inv(c2w))
-        self.planner.init(c2w, self.sim.intrinsics,
-                          img_size=(self.slam.camera.height,
-                                    self.slam.camera.width))
+        img_size = (self.slam.camera.height, self.slam.camera.width)
+        if self.known_env_points is not None:
+            # known-env mode: seed the planner's map from the GT cloud and
+            # plan by coverage probes (reference astar.py:108-183, 328-363)
+            self.planner.init_known_env(c2w, self.known_env_points,
+                                        intrinsic=self.sim.intrinsics,
+                                        img_size=img_size)
+        else:
+            self.planner.init(c2w, self.sim.intrinsics, img_size=img_size)
         self.planner.update_occ_map(obs["depth"], c2w, 0)
+        self._make_habvis()
+        # init scan: 90° of turn-left steps (reference init_local_policy,
+        # tester:2803-2876 queues 9 x turn-left at 10°)
+        for _ in range(max(int(90.0 // self.turn_angle), 1)):
+            self.queue.append(2)
+        return obs
+
+    def _make_habvis(self):
         # top-down fog-of-war visualizer (reference HabitatVisualizer;
         # its fow_mask is the 2D coverage numerator, tester:1498-1516)
         self.habvis = None
@@ -112,11 +126,6 @@ class ActiveMapper:
                                              self.planner.map_center)
             self.habvis = MapVisualizer(gt_free, self.planner.cell_size * 2,
                                         self.planner.map_center)
-        # init scan: 90° of turn-left steps (reference init_local_policy,
-        # tester:2803-2876 queues 9 x turn-left at 10°)
-        for _ in range(max(int(90.0 // self.turn_angle), 1)):
-            self.queue.append(2)
-        return obs
 
     # -- object branch --------------------------------------------------------
     def _object_mask(self, obs):
@@ -205,19 +214,34 @@ class ActiveMapper:
         with self.timer.phase("plan.global"):
             if (prep is not None and expansion == 1
                     and t - prep[0] <= self.plan_watermark + 2):
-                global_points, eigs, _rgp = prep[1]()
+                finish = prep[1]
             else:
                 if bool(self.cfg.explore.prune_invisible):
                     # drop Gaussians invisible from every keyframe before
                     # planning (gaussian.py:1318-1326, explore.prune_invisible)
                     slam.prune_invisible()
                 pose_fn = None if self.policy_name == "frontier" \
-                    else slam.pose_eval
-                global_points, eigs, _rgp = planner.global_planning(
+                    else slam.pose_eval_async
+                finish = planner.global_planning(
                     pose_fn, slam.gaussian_points, None, expansion=expansion,
+                    visualize=bool(self.cfg.policy.save_nav_images),
                     agent_pose=current_agent_pose[:3, 3],
-                    last_goal=self.last_goal)
+                    last_goal=self.last_goal, defer_scores=True)
             gaussian_points = slam.gaussian_points
+            if finish is None or isinstance(finish, tuple):
+                return None, None
+        # the candidate Fisher batch is now in flight — dispatch the sweep
+        # field for THIS frame's map so it computes concurrently on device
+        # (action_planning's own setup_start call becomes a no-op)
+        with self.timer.phase("plan.sweep"):
+            start = planner.convert_to_map(
+                current_agent_pose[[0, 2], 3])[[1, 0]]
+            try:
+                planner.setup_start(start, gaussian_points, t)
+            except LocalizationError:
+                return None, None
+        with self.timer.phase("plan.global"):
+            global_points, eigs, _rgp = finish()
             if global_points is None:
                 return None, None
             global_points = np.asarray(global_points)
@@ -225,7 +249,7 @@ class ActiveMapper:
 
         try:
             with self.timer.phase("plan.actions"):
-                goals, path_actions, paths_arr = action_planning(
+                goals, path_actions, paths_arr, goal_idx = action_planning(
                     global_points, current_agent_pose, planner,
                     gaussian_points, t, self.forward_step, self.turn_angle,
                     self.queue_size)
@@ -233,8 +257,8 @@ class ActiveMapper:
             return None, None
         if not path_actions:
             return None, None
-        goals, path_actions, paths_arr = (goals[:20], path_actions[:20],
-                                          paths_arr[:20])
+        goals, path_actions, paths_arr, goal_idx = (
+            goals[:20], path_actions[:20], paths_arr[:20], goal_idx[:20])
 
         if self.policy_name == "frontier":
             best = 0       # FBE: first (closest-frontier) valid path
@@ -247,8 +271,6 @@ class ActiveMapper:
             # reference's wasted per-action Hessians; see path_eval)
             acc_idx = acc_step_indices(a_max,
                                        int(self.cfg.acc_H_train_every))
-            t_rollout = self.timer.phase("plan.rollout")
-            t_rollout.__enter__()
             # pad the path axis to a fixed 20 so path_eig_scores compiles
             # once per episode (padding rows get -inf final EIG)
             p_max = 20
@@ -256,21 +278,21 @@ class ActiveMapper:
                            (p_max, len(acc_idx), 1, 1))
             valid = np.zeros((p_max, len(acc_idx)), bool)
             lengths = np.ones((p_max,), np.int32)
-            for i, acts in enumerate(path_actions):
-                poses = rollout_path_poses(current_agent_pose, acts,
-                                           planner.cam_height,
-                                           self.forward_step, self.turn_angle)
-                for j, s in enumerate(acc_idx):
-                    if s < len(acts):
-                        w2cs[i, j] = np.linalg.inv(poses[s])
-                        valid[i, j] = True
-                lengths[i] = len(acts)
-            final_eigs = np.full((p_max,), -np.inf, np.float32)
-            for i, g in enumerate(goals):
-                e = eigs[np.where((global_points == g).all(axis=(1, 2)))[0][0]]
-                # log of the endpoint EIG (reference mixes log-EIGs)
-                final_eigs[i] = np.log(max(float(e), 1e-30))
-            t_rollout.__exit__(None, None, None)
+            with self.timer.phase("plan.rollout"):
+                for i, acts in enumerate(path_actions):
+                    poses = rollout_path_poses(current_agent_pose, acts,
+                                               planner.cam_height,
+                                               self.forward_step,
+                                               self.turn_angle)
+                    for j, s in enumerate(acc_idx):
+                        if s < len(acts):
+                            w2cs[i, j] = np.linalg.inv(poses[s])
+                            valid[i, j] = True
+                    lengths[i] = len(acts)
+                final_eigs = np.full((p_max,), -np.inf, np.float32)
+                for i, gi in enumerate(goal_idx):
+                    # log of the endpoint EIG (reference mixes log-EIGs)
+                    final_eigs[i] = np.log(max(float(eigs[gi]), 1e-30))
             with self.timer.phase("plan.path_eig"):
                 scores = path_eig_scores(
                     slam.state, h_train, jnp.asarray(w2cs),
@@ -360,14 +382,24 @@ class ActiveMapper:
     # -- main loop ----------------------------------------------------------
     def test_navigation(self, eval_every: int | None = None,
                         recon_gt_points=None, on_step=None) -> dict:
-        obs = self._init_episode()
-        t = 0
+        if getattr(self, "_resume_t", None) is not None:
+            # resumed episode: state restored by resume(); continue mid-run
+            obs = self.sim.get_observations()
+            t = self._resume_t
+            self._resume_t = None
+        else:
+            obs = self._init_episode()
+            t = 0
+        c2w = obs["c2w"]
         done_reason = "max_steps"
         while t < self.max_steps:
             if self.cm.should_exit():
                 # graceful preemption: checkpoint then requeue
-                # (reference tester:804-805 + cluster_manager.py:60-65)
-                self.save_checkpoint(t)
+                # (reference tester:804-805 + cluster_manager.py:60-65).
+                # Step t has NOT been processed yet -> resume at t with the
+                # sim still at this step's pose.
+                self.save_checkpoint(max(t - 1, 0), sim_c2w=obs["c2w"],
+                                     resume_t=t)
                 self.cm.requeue()
             c2w = obs["c2w"]
             # dynamic object kinematics (reference tester:657-671)
@@ -396,6 +428,8 @@ class ActiveMapper:
                     self._object_step(obs, obj_mask, t)
             with self.timer.phase("occupancy"):
                 self.planner.update_occ_map(obs["depth"], c2w, t)
+                if self.planner.covered is not None:
+                    self.planner.cover_fov_2d(c2w)
             if self.upen is not None:
                 pose = self._pose_xzyaw(c2w)
                 if t == 0:
@@ -434,11 +468,18 @@ class ActiveMapper:
                 else c2w[:3, 3].copy()
             with self.timer.phase("sim_step"):
                 obs = self.sim.step(action)
-            # stuck detection (reference tester:1144-1172)
+            # stuck detection (reference tester:1144-1172): inject an
+            # obstacle cell one step ahead so the replan routes around the
+            # unseen blocker instead of re-planning the same path
             if action == 1:
                 moved = np.linalg.norm(obs["c2w"][:3, 3] - prev_pos)
                 if moved < 1e-3:
                     self.stuck_count += 1
+                    fwd = obs["c2w"][:3, :3] @ np.array([0.0, 0.0, 1.0])
+                    ahead = (obs["c2w"][:3, 3]
+                             + fwd * max(self.forward_step,
+                                         self.planner.cell_size * 1.5))
+                    self.planner.add_obstacle((ahead[0], ahead[2]))
                     self.queue.clear()
                     if self.stuck_count > 10:
                         done_reason = "stuck"
@@ -466,7 +507,8 @@ class ActiveMapper:
                     self.habvis.save_vis_seen(
                         os.path.join(self.eval_dir, "nav_images"), t)
             if t > 0 and t % self.checkpoint_interval == 0:
-                self.save_checkpoint(t)
+                # post-step site: the sim already moved to step t+1's pose
+                self.save_checkpoint(t, sim_c2w=obs["c2w"], resume_t=t + 1)
             if on_step is not None:
                 on_step(t, obs)
             t += 1
@@ -479,9 +521,12 @@ class ActiveMapper:
             result["coverage_2d_pct"] = self.habvis.coverage_2d()
         if eval_every != 0 and self.scene is not None and \
                 hasattr(self.sim, "render_at"):
+            # reference protocol: 2000 uniform navigable poses
+            # (tester:1372-1393) + PSNR scatter map (tester:1531-1556)
             nav_eval = eval_navigation(self.slam, self.sim, self.scene,
-                                       n_poses=eval_every or 50,
-                                       cam_height=float(c2w[1, 3]))
+                                       n_poses=eval_every or 2000,
+                                       cam_height=float(c2w[1, 3]),
+                                       out_dir=self.eval_dir)
             result["eval"] = {k: v for k, v in nav_eval.items()
                               if k != "per_pose"}
             # per-pose dump + results txt (reference tester:1320-1325
@@ -501,13 +546,91 @@ class ActiveMapper:
             result["auc"] = self.metrics.auc()
         return result
 
-    # -- checkpoint/resume (reference tester:2745-2800 load_3d_gaussian) ----
-    def save_checkpoint(self, t: int):
+    # -- checkpoint/resume (reference tester:2745-2800 load_3d_gaussian,
+    # :824-828 habvis-with-ckpt, :2824-2829 astar, :2871-2874 habvis) ----
+    def save_checkpoint(self, t: int, sim_c2w=None, resume_t: int | None = None):
+        """sim_c2w: the simulator's CURRENT pose (at the periodic in-loop
+        checkpoint the sim has already stepped past the last tracked
+        frame); resume_t: the step index the resumed loop starts at
+        (default t+1 — step t is fully processed)."""
         self.slam.save(t)
         self.planner.save(os.path.join(self.eval_dir, "astar.npz"))
+        self.global_pcl.save(os.path.join(self.eval_dir, "global_pcl.npz"))
+        self.metrics.dump(os.path.join(self.eval_dir, "metrics_curve.yaml"))
+        if self.object_metrics.steps:
+            self.object_metrics.dump(
+                os.path.join(self.eval_dir, "object_metrics_curve.yaml"))
+        extra = dict(t=int(t), stuck_count=int(self.stuck_count),
+                     resume_t=int(t + 1 if resume_t is None else resume_t),
+                     sim_c2w=(np.zeros((0, 4, 4), np.float32)
+                              if sim_c2w is None
+                              else np.asarray(sim_c2w, np.float32)[None]),
+                     queue=np.asarray(list(self.queue), np.int64),
+                     last_goal=(np.zeros((0, 4, 4), np.float32)
+                                if self.last_goal is None
+                                else np.asarray(self.last_goal)[None]))
+        if self.habvis is not None:
+            hv = self.habvis.state_dict()
+            extra.update(habvis_fow=hv["fow_mask"],
+                         habvis_traj=np.asarray(hv["traj"]).reshape(-1, 2),
+                         habvis_obj=np.asarray(hv["obj_traj"]).reshape(-1, 2))
+        np.savez_compressed(os.path.join(self.eval_dir, "episode_state.npz"),
+                            **extra)
+        # RNG states: without these a resumed episode's planning draws
+        # diverge from the uninterrupted run's
+        import pickle
+        with open(os.path.join(self.eval_dir, "episode_rng.pkl"), "wb") as f:
+            pickle.dump(dict(
+                driver=self.rng.bit_generator.state,
+                planner=self.planner.rng.bit_generator.state,
+                slam=self.slam.rng.bit_generator.state,
+                pcl=self.global_pcl.rng.bit_generator.state), f)
 
     def resume(self, slam_ckpt: str):
+        """Restore the FULL episode state and replay the last tracked pose
+        into the simulator; the next test_navigation() continues from the
+        checkpointed step with identical coverage accounting."""
         self.slam.load(slam_ckpt)
         astar_path = os.path.join(self.eval_dir, "astar.npz")
         if os.path.exists(astar_path):
             self.planner.load(astar_path)
+            self.planner.camera = self.slam.camera
+        pcl_path = os.path.join(self.eval_dir, "global_pcl.npz")
+        if os.path.exists(pcl_path):
+            self.global_pcl.load(pcl_path)
+        curve = os.path.join(self.eval_dir, "metrics_curve.yaml")
+        if os.path.exists(curve):
+            self.metrics.load(curve)
+        obj_curve = os.path.join(self.eval_dir, "object_metrics_curve.yaml")
+        if os.path.exists(obj_curve):
+            self.object_metrics.load(obj_curve)
+        ep_path = os.path.join(self.eval_dir, "episode_state.npz")
+        if os.path.exists(ep_path):
+            ep = np.load(ep_path)
+            self.stuck_count = int(ep["stuck_count"])
+            self.queue = deque(int(a) for a in ep["queue"])
+            if len(ep["last_goal"]):
+                self.last_goal = ep["last_goal"][0]
+            self._make_habvis()
+            if self.habvis is not None and "habvis_fow" in ep:
+                self.habvis.load_state_dict(dict(
+                    fow_mask=ep["habvis_fow"], traj=ep["habvis_traj"],
+                    obj_traj=ep["habvis_obj"]))
+            self._resume_t = int(ep["resume_t"]) if "resume_t" in ep \
+                else int(ep["t"]) + 1
+            if hasattr(self.sim, "set_pose"):
+                if "sim_c2w" in ep and len(ep["sim_c2w"]):
+                    self.sim.set_pose(ep["sim_c2w"][0])
+                else:
+                    self.sim.set_pose(self.slam.get_latest_frame())
+        elif hasattr(self.sim, "set_pose"):
+            self.sim.set_pose(self.slam.get_latest_frame())
+        rng_path = os.path.join(self.eval_dir, "episode_rng.pkl")
+        if os.path.exists(rng_path):
+            import pickle
+            with open(rng_path, "rb") as f:
+                states = pickle.load(f)
+            self.rng.bit_generator.state = states["driver"]
+            self.planner.rng.bit_generator.state = states["planner"]
+            self.slam.rng.bit_generator.state = states["slam"]
+            self.global_pcl.rng.bit_generator.state = states["pcl"]

@@ -15,6 +15,7 @@ reported under that explicit name.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -107,23 +108,65 @@ def uniform_eval_poses(scene, n_poses: int, cam_height: float,
     return poses
 
 
-def eval_navigation(slam, sim, scene, n_poses: int = 200,
-                    cam_height: float = 1.25, seed: int = 42) -> dict:
+def eval_navigation(slam, sim, scene, n_poses: int = 2000,
+                    cam_height: float = 1.25, seed: int = 42,
+                    out_dir: str | None = None, chunk: int = 32) -> dict:
     """Held-out render quality over uniform navigable poses
-    (reference tester:1396-1529 eval_navigation)."""
+    (reference tester:1396-1529 eval_navigation; protocol default 2000
+    poses as at tester:1372-1393).
+
+    Renders are dispatched per chunk and pulled with ONE device_get — at
+    2000 poses a per-pose pull would cost 2000 round trips on tunneled
+    TPUs.  With `out_dir`, also writes the plasma-colored per-pose PSNR
+    scatter on the top-down map (reference tester:1531-1556)."""
+    import jax
     poses = uniform_eval_poses(scene, n_poses, cam_height, seed)
     per_pose = []
-    for c2w in poses:
-        gt_rgb, gt_depth = sim.render_at(c2w)
-        out = slam.render_at_pose(c2w)
-        m = render_metrics(out["render"], gt_rgb, np.asarray(out["depth"]),
-                           gt_depth)
-        per_pose.append(m)
+    for i in range(0, n_poses, chunk):
+        batch = poses[i:i + chunk]
+        handles = [slam.render_at_pose(c2w) for c2w in batch]   # dispatches
+        pulled = jax.device_get([(h["render"], h["depth"]) for h in handles])
+        for c2w, (render, depth) in zip(batch, pulled):
+            gt_rgb, gt_depth = sim.render_at(c2w)
+            per_pose.append(render_metrics(np.asarray(render), gt_rgb,
+                                           np.asarray(depth), gt_depth))
     agg = {k: float(np.mean([m[k] for m in per_pose]))
            for k in per_pose[0]}
     agg["n_poses"] = n_poses
     agg["per_pose"] = per_pose
+    if out_dir is not None:
+        save_psnr_scatter(
+            os.path.join(out_dir, "eval_psnr_map.png"), scene, poses,
+            np.asarray([m["psnr"] for m in per_pose]))
     return agg
+
+
+def save_psnr_scatter(path: str, scene, poses: np.ndarray,
+                      psnrs: np.ndarray, cell: float = 0.05):
+    """Per-pose PSNR as a plasma-colored scatter on the GT top-down map
+    (reference tester:1531-1556)."""
+    import cv2
+    dim = (256, 256)
+    center = getattr(scene, "center_xz", None)
+    if center is None:
+        center = np.zeros(2)
+    free = scene.gt_free_map(cell, dim, center)
+    img = np.full(dim + (3,), 30, np.uint8)
+    img[np.asarray(free, bool)] = (200, 200, 200)
+    lo, hi = float(np.min(psnrs)), float(np.max(psnrs))
+    span = max(hi - lo, 1e-6)
+    cmap = cv2.applyColorMap(
+        np.arange(256, dtype=np.uint8).reshape(-1, 1),
+        cv2.COLORMAP_PLASMA)[:, 0, :]          # BGR rows
+    for c2w, v in zip(poses, psnrs):
+        cx = int((c2w[0, 3] - center[0]) / cell + dim[1] // 2)
+        cz = int((c2w[2, 3] - center[1]) / cell + dim[0] // 2)
+        if 0 <= cx < dim[1] and 0 <= cz < dim[0]:
+            color = cmap[int((v - lo) / span * 255)]
+            cv2.circle(img, (cx, cz), 2,
+                       tuple(int(c) for c in color[::-1]), -1)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, img[..., ::-1])
 
 
 # ---------------------------------------------------------------------------
@@ -301,3 +344,13 @@ class MetricsRecorder:
             yaml.safe_dump(dict(**self.header, steps=self.steps,
                                 auc=self.auc() if self.steps else 0.0),
                            f, sort_keys=False)
+
+    def load(self, path: str):
+        """Restore a dumped curve (checkpoint resume: the reference keeps
+        metric curves across preemption, tester:2745-2800)."""
+        import yaml
+        with open(path) as f:
+            d = yaml.safe_load(f)
+        self.header = dict(policy=d.get("policy", self.header["policy"]),
+                           scene=d.get("scene", self.header["scene"]))
+        self.steps = [dict(s) for s in d.get("steps", [])]

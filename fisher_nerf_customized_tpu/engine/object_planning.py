@@ -9,77 +9,57 @@ score with the endpoint EIG via object_path_end_weight.
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fisher import dopt_score_from_diags, topt_score_from_diags
 from .actions import action_planning, rollout_path_poses
+from .path_eval import acc_step_indices
 
 
-def path_evaluation_fisher(obj_slam, h_train, path_actions, current_pose,
-                           cam_height, forward_step, turn_angle,
-                           final_eigs, cfg):
-    """Per-path Fisher EIG accumulation over the 11-dim object Hessian
-    (reference path_object_evaluation)."""
-    lam = float(cfg.H_reg_lambda)
+def path_evaluation_batched(obj_slam, h_train11, path_actions, current_pose,
+                            cam_height, forward_step, turn_angle, final_eigs,
+                            cfg, criterion: str = "fisher", probes: int = 2,
+                            p_max: int = 8):
+    """ALL object paths scored in one XLA launch (reference
+    path_object_evaluation / path_evaluation_popgs are sequential python
+    loops with one render+backward and a blocking pull per action;
+    models/object_slam.object_path_scores is the batched device program).
+
+    Only the acc-step poses contribute (the reference computes a Hessian
+    per action but folds in/scores every acc_H_train_every-th — the rest
+    is skipped exactly, see path_eval.acc_step_indices).
+    """
+    from ..models.object_slam import object_path_scores
+    lam = float(cfg.H_reg_lambda) if criterion == "fisher" else 1e-6
     acc_every = int(cfg.acc_H_train_every)
     w_end = float(cfg.object_path_end_weight)
     w_point = float(cfg.path_point_weight)
-    scores = []
-    for actions, final_eig in zip(path_actions, final_eigs):
-        poses = rollout_path_poses(current_pose, actions, cam_height,
-                                   forward_step, turn_angle)
-        h_path = np.asarray(h_train).copy()
-        total, count = 0.0, 0
-        for pose in poses:
-            count += 1
-            if (count + 1) % acc_every != 0:
-                continue
-            cur = np.asarray(obj_slam.compute_Hessian(
-                np.linalg.inv(pose), return_points=True))
-            eig = np.log(max(float((cur / (h_path + lam)).sum()), 1e-30))
-            total += w_point * eig
-            h_path = h_path + cur
-        length = max(count, 1)
-        if w_end > 0:
-            scores.append(total / length + w_end * float(final_eig))
-        else:
-            scores.append((total + float(final_eig)) / length)
-    return np.asarray(scores, np.float32)
 
-
-def path_evaluation_popgs(obj_slam, h_train_diag, path_actions, current_pose,
-                          cam_height, forward_step, turn_angle, final_eigs,
-                          cfg, criterion: str = "topt", probes: int = 2):
-    """P-optimality path evaluation: per future pose, Hutchinson diag JᵀJ
-    updates the running prior and the T-opt/D-opt delta scores the action
-    (reference path_evaluation_popgs)."""
-    lam = 1e-6
-    acc_every = int(cfg.acc_H_train_every)
-    w_end = float(cfg.object_path_end_weight)
-    w_point = float(cfg.path_point_weight)
-    score_fn = (topt_score_from_diags if criterion == "topt"
-                else dopt_score_from_diags)
-    scores = []
-    for actions, final_eig in zip(path_actions, final_eigs):
-        poses = rollout_path_poses(current_pose, actions, cam_height,
+    n_paths = len(path_actions)
+    a_max = max(len(a) for a in path_actions)
+    acc_idx = acc_step_indices(a_max, acc_every) or [0]
+    w2cs = np.tile(np.eye(4, dtype=np.float32),
+                   (p_max, len(acc_idx), 1, 1))
+    valid = np.zeros((p_max, len(acc_idx)), bool)
+    lengths = np.ones((p_max,), np.int32)
+    for i, acts in enumerate(path_actions[:p_max]):
+        poses = rollout_path_poses(current_pose, acts, cam_height,
                                    forward_step, turn_angle)
-        h_path = np.asarray(h_train_diag).copy()
-        total, count = 0.0, 0
-        for pose in poses:
-            count += 1
-            if (count + 1) % acc_every != 0:
-                continue
-            diag, _vis = obj_slam.estimate_diag_JtJ_simple(
-                np.linalg.inv(pose), K=probes)
-            diag = np.asarray(diag)
-            total += w_point * float(score_fn(h_path, diag, lam))
-            h_path = h_path + diag
-        length = max(count, 1)
-        if w_end > 0:
-            scores.append(total / length + w_end * float(final_eig))
-        else:
-            scores.append((total + float(final_eig)) / length)
-    return np.asarray(scores, np.float32)
+        for j, s in enumerate(acc_idx):
+            if s < len(acts):
+                w2cs[i, j] = np.linalg.inv(poses[s])
+                valid[i, j] = True
+        lengths[i] = len(acts)
+    fe = np.full((p_max,), -np.inf, np.float32)
+    fe[:n_paths] = np.asarray(final_eigs, np.float32)[:p_max]
+    keys = obj_slam._pose_keys(len(acc_idx) * p_max).reshape(
+        len(acc_idx), p_max, 2)
+    scores = object_path_scores(
+        obj_slam.state.params(), obj_slam.state.n_active, h_train11,
+        jnp.asarray(w2cs), jnp.asarray(valid), jnp.asarray(lengths),
+        jnp.asarray(fe), keys, lam, w_point, w_end, obj_slam.camera,
+        obj_slam.settings, int(probes), criterion)
+    return np.asarray(scores)[:n_paths]
 
 
 def plan_best_object_path(obj_slam, slam, planner, current_agent_pose,
@@ -103,38 +83,38 @@ def plan_best_object_path(obj_slam, slam, planner, current_agent_pose,
         return None, None
     global_points, eigs = np.asarray(global_points), np.asarray(eigs)
 
-    goals, path_actions, paths_arr = action_planning(
-        global_points, current_agent_pose, planner, slam.gaussian_points, t,
-        forward_step, turn_angle, queue_size)
+    from ..planning import LocalizationError
+    try:
+        goals, path_actions, paths_arr, goal_idx = action_planning(
+            global_points, current_agent_pose, planner,
+            slam.gaussian_points, t, forward_step, turn_angle, queue_size)
+    except LocalizationError:
+        # enclosed start (e.g. agent boxed in next to the object): fall
+        # back to the scene planner instead of aborting the episode
+        return None, None
     if not path_actions:
         return None, None
-    goals, path_actions, paths_arr = (goals[:8], path_actions[:8],
-                                      paths_arr[:8])
+    goals, path_actions, paths_arr, goal_idx = (
+        goals[:8], path_actions[:8], paths_arr[:8], goal_idx[:8])
     final_eigs = []
-    for g in goals:
-        i = np.where((global_points == g).all(axis=(1, 2)))[0][0]
+    for i in goal_idx:
         # fisher scores are summed ratios (log for mixing); popgs scores
         # are already log-domain-ish utilities
         e = float(eigs[i])
         final_eigs.append(np.log(max(e, 1e-30)) if criterion == "fisher"
                           else e)
 
-    if criterion in ("topt", "dopt"):
-        h_train = np.asarray(obj_slam.compute_H_train_popgs(K=2))
-        scores = path_evaluation_popgs(
-            obj_slam, h_train, path_actions, current_agent_pose,
-            planner.cam_height, forward_step, turn_angle, final_eigs, cfg,
-            criterion=criterion)
+    # cached (keyframes × params)-versioned H_train; popgs uses K=2 probes
+    probes = 2 if criterion in ("topt", "dopt") else obj_slam.hutch_probes
+    if len(obj_slam.keyframes):
+        h_train11 = obj_slam.compute_H_train_obj(n_probes=probes)
     else:
-        h_train = None
-        for w2c in obj_slam.keyframes.w2cs:
-            h = np.asarray(obj_slam.compute_Hessian(w2c, return_points=True))
-            h_train = h if h_train is None else h_train + h
-        if h_train is None:
-            h_train = np.zeros((obj_slam.state.capacity, 11), np.float32)
-        scores = path_evaluation_fisher(
-            obj_slam, h_train, path_actions, current_agent_pose,
-            planner.cam_height, forward_step, turn_angle, final_eigs, cfg)
+        h_train11 = jnp.zeros((obj_slam.state.capacity, 11))
+    scores = path_evaluation_batched(
+        obj_slam, h_train11, path_actions, current_agent_pose,
+        planner.cam_height, forward_step, turn_angle, final_eigs, cfg,
+        criterion=criterion if criterion in ("topt", "dopt") else "fisher",
+        probes=probes)
 
     best = int(np.argmax(scores))
     return path_actions[best], paths_arr[best]

@@ -1,15 +1,20 @@
-"""Habitat simulator adapter (gated import).
+"""Habitat simulator adapter + data layer (gated import).
 
 The reference binds episodes to habitat-sim through HabitatDataScene
-(reference datasets/dataloader.py:79-376: Hydra config mutation, per-dataset
-scene path logic, sensor overrides, episode json.gz loading, intrinsics
-from hfov).  habitat-sim is not installed in this environment; this adapter
-exposes the same observation dict as FakeSim (`rgb`, `depth`, `c2w`,
-optional `semantic`) when habitat IS available, so the episode drivers are
-simulator-agnostic.
+(reference datasets/dataloader.py:79-376): Hydra config mutation,
+per-dataset scene path logic, sensor-resolution and turn/forward
+overrides, pointnav episode json.gz loading, intrinsics from hfov, and
+Neural-SLAM pose noise models.  habitat-sim is not installed in this
+environment, so everything that CAN be pure python lives in module-level
+helpers that run (and are tested) without habitat; `HabitatSim` wires
+them to a real `habitat.Env` when one is available and exposes the same
+observation dict as FakeSim (`rgb`, `depth`, `c2w`, optional
+`semantic`), keeping the episode drivers simulator-agnostic.
 """
 from __future__ import annotations
 
+import gzip
+import json
 import os
 
 import numpy as np
@@ -30,46 +35,317 @@ def _require_habitat():
             "run MP3D/HM3D/Gibson scenes.")
 
 
-class HabitatSim:
-    """habitat.Env wrapper with the FakeSim observation interface.
+# -- pure helpers (testable without habitat) --------------------------------
 
-    Scene-path conventions follow the reference (dataloader.py:87-106):
-      mp3d:   {root}/mp3d/{scene}/{scene}.glb
-      gibson: {root}/gibson/{scene}.glb
-      hm3d:   {root}/hm3d/{split}/{scene}/{scene}.basis.glb
+def scene_asset_path(dataset_type: str, root_path: str, scene_id: str,
+                     split: str = "val", scenes_dir: str = "") -> dict:
+    """Scene asset + scene_dataset paths per dataset family (reference
+    dataloader.py:87-106).  Returns {"scene": ..., "scene_dataset": ...}
+    (scene_dataset may be None)."""
+    ds = dataset_type
+    scene_name = scene_id.split("-")[1] if "-" in scene_id else scene_id
+    if ds == "MP3D":
+        return dict(
+            scene=os.path.join(root_path, ds, scene_id, scene_id + ".glb"),
+            scene_dataset=os.path.join(
+                root_path, ds, "mp3d_annotated_basis.scene_dataset_config"
+                ".json"))
+    if ds == "gibson":
+        return dict(scene=os.path.join(root_path, ds, scene_id,
+                                       scene_id + ".glb"),
+                    scene_dataset=None)
+    if ds == "replica":
+        return dict(scene=os.path.join(root_path, "data/scene_datasets/",
+                                       scenes_dir, scene_id,
+                                       "habitat/mesh_semantic.ply"),
+                    scene_dataset=None)
+    if ds == "hm3d":
+        return dict(
+            scene=os.path.join(root_path, "hm3d-0.2/hm3d/", split, scene_id,
+                               f"{scene_name}.basis.glb"),
+            scene_dataset=os.path.join(
+                root_path,
+                "hm3d-0.2/hm3d/hm3d_annotated_basis.scene_dataset_config"
+                ".json"))
+    if ds == "habitat_test_scenes":
+        return dict(scene=os.path.join(root_path, ds, f"{scene_id}.glb"),
+                    scene_dataset=None)
+    raise ValueError(f"unknown dataset_type {dataset_type!r}")
+
+
+def episode_file_path(dataset_type: str, root_path: str, split: str,
+                      scene_id: str) -> str:
+    """Pointnav episode file location per dataset family (reference
+    dataloader.py:143-155)."""
+    ds = dataset_type
+    if ds == "MP3D":
+        return os.path.join(root_path, ds, "pointnav_mp3d_v1", split,
+                            "content", scene_id + ".json.gz")
+    if ds == "gibson":
+        return os.path.join(root_path, ds, "pointnav_gibson_v2", split,
+                            "content", scene_id + ".json.gz")
+    if ds == "hm3d":
+        return os.path.join("../data/datasets/pointnav/hm3d/v1", split,
+                            split + ".json.gz")
+    if ds == "habitat_test_scenes":
+        return os.path.join("../data/datasets/pointnav/habitat_test_scenes"
+                            "/v1", split, split + ".json.gz")
+    if ds == "replica":
+        return os.path.join(root_path, "data/scene_datasets/Replica",
+                            scene_id, "habitat/replica_stage.stage_config"
+                            ".json")
+    raise ValueError(f"unknown dataset_type {dataset_type!r}")
+
+
+def load_pointnav_episodes(path: str, scene_id: str) -> dict:
+    """Load a pointnav json.gz and keep only this scene's episodes
+    (reference dataloader.py:156-177).  Missing file -> empty episode
+    list (the active-mapping drivers don't need pointnav goals)."""
+    if not os.path.exists(path):
+        return {"episodes": []}
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fp:
+        data = json.load(fp)
+    out = {"episodes": []}
+    for ep in data.get("episodes", []):
+        sc = ep.get("scene_id", "").split("/")[-1].split(".")[0]
+        if sc == scene_id:
+            out["episodes"].append(ep)
+    return out
+
+
+def add_difficulty(episodes: list[dict]) -> None:
+    """Difficulty labels from geodesic distance (reference
+    dataloader.py:246-256 add_difficulty): >13 m hard, >7 m medium."""
+    for ep in episodes:
+        geo = ep["info"]["geodesic_distance"]
+        ep["info"]["difficulty"] = ("hard" if geo > 13.0 else
+                                    "medium" if geo > 7.0 else "easy")
+
+
+def intrinsics_from_hfov(width: int, height: int,
+                         hfov_deg: float = 90.0) -> np.ndarray:
+    """Pinhole K from habitat's horizontal FOV (reference
+    dataloader.py:233-240)."""
+    hfov = np.deg2rad(hfov_deg)
+    fx = (width / 2.0) / np.tan(hfov / 2.0)
+    fy = (height / 2.0) / np.tan(hfov / 2.0)
+    return np.array([[fx, 0.0, width / 2.0],
+                     [0.0, fy, height / 2.0],
+                     [0.0, 0.0, 1.0]], np.float32)
+
+
+def unnormalize_depth(depth: np.ndarray, min_depth: float,
+                      max_depth: float) -> np.ndarray:
+    """Habitat's normalize_depth=True sensors emit [0,1]; map back to
+    meters (reference datasets/util/utils.py unnormalize_depth)."""
+    return depth * (max_depth - min_depth) + min_depth
+
+
+def apply_sensor_overrides(cfg, turn_angle: float, forward_step: float,
+                           max_steps: int, img_width: int, img_height: int,
+                           scene: str | None = None,
+                           scene_dataset: str | None = None,
+                           split: str = "val"):
+    """Mutate a habitat Hydra config the way the reference does
+    (dataloader.py:108-126): motion params, episode cap, RGB/depth/
+    semantic sensor resolutions, scene paths, no pointnav data preload.
+    Works on any attribute tree (tested with a mock config)."""
+    sim = cfg.habitat.simulator
+    sim.turn_angle = int(turn_angle)
+    sim.forward_step_size = float(forward_step)
+    cfg.habitat.environment.max_episode_steps = int(max_steps)
+    cfg.habitat.dataset.type = ""
+    cfg.habitat.dataset.split = split
+    sensors = sim.agents.main_agent.sim_sensors
+    for name in ("rgb_sensor", "depth_sensor", "semantic_sensor"):
+        s = getattr(sensors, name, None)
+        if s is not None:
+            s.width = int(img_width)
+            s.height = int(img_height)
+    if scene is not None:
+        sim.scene = scene
+    if scene_dataset is not None:
+        sim.scene_dataset = scene_dataset
+    return cfg
+
+
+class PoseNoiseModel:
+    """Neural-SLAM-style actuation noise (reference dataloader.py:129-136
+    loads per-action GMM pickles; tester:1575-1587 add_pose_noise samples
+    (x_err, y_err, o_err) per action and scales by noise_level).
+
+    When the pickled GMMs exist on disk they are used; otherwise a
+    documented Gaussian fallback with Neural-SLAM-magnitude parameters
+    (LoCoBot-calibrated: ~1-2 cm translation / ~1-2 deg rotation sigma)
+    keeps the pipeline exercisable offline."""
+
+    _FALLBACK = {  # action_id -> (mean, sigma) for (x m, y m, o deg)
+        1: ((0.008, 0.004, -0.3), (0.012, 0.009, 1.4)),   # forward
+        2: ((0.002, 0.002, 0.8), (0.005, 0.004, 1.5)),    # left
+        3: ((0.002, -0.002, -0.8), (0.005, 0.004, 1.5)),  # right
+    }
+
+    def __init__(self, noise_dir: str = "noise_models", noise_level=1.0,
+                 seed: int = 0):
+        self.noise_level = float(noise_level)
+        self.rng = np.random.default_rng(seed)
+        self._gmms = {}
+        names = {1: "sensor_noise_fwd.pkl", 2: "sensor_noise_left.pkl",
+                 3: "sensor_noise_right.pkl"}
+        for aid, fn in names.items():
+            path = os.path.join(noise_dir, fn)
+            if os.path.exists(path):
+                import pickle
+                try:
+                    with open(path, "rb") as f:
+                        self._gmms[aid] = pickle.load(f)
+                except Exception:
+                    pass
+
+    def sample(self, action_id: int):
+        """(x_err m, y_err m, o_err deg) for one executed action."""
+        aid = int(action_id)
+        if aid in self._gmms:
+            return tuple(float(v) for v in self._gmms[aid].sample()[0][0])
+        if aid not in self._FALLBACK:
+            return (0.0, 0.0, 0.0)
+        mean, sigma = self._FALLBACK[aid]
+        return tuple(float(self.rng.normal(m, s))
+                     for m, s in zip(mean, sigma))
+
+    def add_pose_noise(self, rel_pose, action_id: int):
+        """Perturb a (3,) [x, y, yaw_rad] relative pose in place-like
+        fashion (reference tester:1575-1587)."""
+        x_err, y_err, o_err = self.sample(action_id)
+        rel = np.asarray(rel_pose, np.float64).copy()
+        rel[0] += x_err * self.noise_level
+        rel[1] += y_err * self.noise_level
+        rel[2] += np.deg2rad(o_err * self.noise_level)
+        return rel
+
+
+def quat_wxyz_to_rotmat(w: float, x: float, y: float, z: float):
+    n = max(np.sqrt(w * w + x * x + y * y + z * z), 1e-12)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float64)
+
+
+def sensor_c2w(position, rotation_wxyz) -> np.ndarray:
+    """Sensor state -> CV-frame c2w (reference datasets/util/utils.py:85
+    get_cam_transform: habitat's y-up/-z-forward sensor frame flipped into
+    x-right/y-down/z-forward)."""
+    rot = quat_wxyz_to_rotmat(*rotation_wxyz)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = rot @ np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = np.asarray(position, np.float32)
+    return c2w
+
+
+def _state_c2w(agent_state) -> np.ndarray:
+    s = agent_state.sensor_states["rgb"]
+    q = s.rotation
+    return sensor_c2w(s.position, (q.w, q.x, q.y, q.z))
+
+
+# -- the habitat-backed simulator ------------------------------------------
+
+class HabitatSim:
+    """habitat.Env wrapper with the FakeSim observation interface and the
+    reference HabitatDataScene's data-layer behavior (episode json.gz,
+    sensor/step overrides, noise models, hfov intrinsics).
+
+    `env_factory(config) -> env` is injectable so the full wiring is
+    contract-tested without habitat installed.
     """
 
-    ACTION_MAP = {1: "move_forward", 2: "turn_left", 3: "turn_right"}
+    ACTION_MAP = {0: "stop", 1: "move_forward", 2: "turn_left",
+                  3: "turn_right"}
 
-    def __init__(self, args, cfg, scene_id: str):
-        _require_habitat()
-        import habitat  # noqa: F811
-        config_path = os.path.join(
-            "configs", f"my_pointnav_{args.dataset.lower()}_val.yaml")
-        config = habitat.get_config(config_path)
-        # the reference mutates turn_angle / forward_step / max steps and
-        # sensor resolutions here (dataloader.py:108-122)
-        self._env = habitat.Env(config=config)
-        self.turn_angle = float(cfg.turn_angle)
-        self.forward_step = float(cfg.forward_step_size)
+    def __init__(self, args, cfg, scene_id: str, env_factory=None,
+                 config=None, seed: int = 0):
+        if env_factory is None:
+            _require_habitat()
+            env_factory = lambda c: habitat.Env(config=c)  # noqa: E731
+        self.scene_id = scene_id
+        dataset_type = str(getattr(args, "dataset_type",
+                                   getattr(args, "dataset", "MP3D")))
+        root_path = str(getattr(args, "root_path", "data"))
+        split = str(getattr(args, "dataset_split", "val"))
+
         h = int(cfg.SLAM.Dataset.Calibration.height)
         w = int(cfg.SLAM.Dataset.Calibration.width)
-        hfov = np.deg2rad(90.0)
-        fx = w / (2.0 * np.tan(hfov / 2.0))
-        self._K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]],
-                           np.float32)
+        if config is None:
+            _require_habitat()
+            config = habitat.get_config(os.path.join(
+                "configs", f"my_pointnav_{dataset_type.lower()}_val.yaml"))
+            try:
+                from omegaconf import OmegaConf
+                OmegaConf.set_readonly(config, False)
+            except Exception:
+                pass
+        assets = scene_asset_path(dataset_type, root_path, scene_id,
+                                  split=split,
+                                  scenes_dir=str(getattr(args, "scenes_dir",
+                                                         "")))
+        apply_sensor_overrides(
+            config, turn_angle=float(cfg.turn_angle),
+            forward_step=float(cfg.forward_step_size),
+            max_steps=int(cfg.num_frames), img_width=w, img_height=h,
+            scene=assets["scene"], scene_dataset=assets["scene_dataset"],
+            split=split)
+
+        self._env = env_factory(config)
+        if hasattr(self._env, "seed"):
+            self._env.seed(seed)
+        self.turn_angle = float(cfg.turn_angle)
+        self.forward_step = float(cfg.forward_step_size)
+        self._K = intrinsics_from_hfov(w, h, 90.0)
+        self.min_depth = float(getattr(args, "min_depth", 0.0))
+        self.max_depth = float(getattr(args, "max_depth", 10.0))
+        self.normalized_depth = bool(getattr(args, "normalized_depth",
+                                             False))
+
+        # pointnav episodes for this scene (reference dataloader.py:141-177)
+        ep_path = episode_file_path(dataset_type, root_path, split, scene_id)
+        self.scene_data = load_pointnav_episodes(ep_path, scene_id)
+        self.number_of_episodes = len(self.scene_data["episodes"])
+
+        # actuation noise (opt-in; reference options.noisy_pose)
+        self.noise_model = None
+        if bool(getattr(args, "noisy_pose", False)):
+            self.noise_model = PoseNoiseModel(
+                noise_level=float(getattr(args, "noise_level", 1.0)),
+                seed=seed)
+
         self._env.reset()
+
+    # -- data layer -----------------------------------------------------
+    def __len__(self):
+        return self.number_of_episodes
+
+    def get_episode_info(self, idx: int) -> dict:
+        """start_position / start_rotation / goals of episode `idx`
+        (reference dataloader.py:261-270)."""
+        return self.scene_data["episodes"][idx]
 
     @property
     def intrinsics(self):
         return self._K
 
+    # -- sim interface --------------------------------------------------
     def _obs_dict(self, obs):
-        state = self._env.sim.get_agent_state()
-        c2w = _sensor_c2w(state)
-        out = dict(rgb=np.asarray(obs["rgb"], np.float32) / 255.0,
-                   depth=np.asarray(obs["depth"], np.float32).squeeze(),
-                   c2w=c2w)
+        c2w = _state_c2w(self._env.sim.get_agent_state())
+        depth = np.asarray(obs["depth"], np.float32)
+        depth = depth.reshape(depth.shape[0], depth.shape[1])
+        if self.normalized_depth:
+            depth = unnormalize_depth(depth, self.min_depth, self.max_depth)
+        out = dict(rgb=np.asarray(obs["rgb"], np.float32)[..., :3] / 255.0,
+                   depth=depth, c2w=c2w)
         if "semantic" in obs:
             out["semantic"] = np.asarray(obs["semantic"], np.int32)
         return out
@@ -91,18 +367,4 @@ class HabitatSim:
 
     @property
     def c2w(self):
-        return _sensor_c2w(self._env.sim.get_agent_state())
-
-
-def _sensor_c2w(agent_state) -> np.ndarray:
-    """Agent/sensor state -> CV-frame c2w (reference datasets/util/
-    utils.py:85 get_cam_transform: habitat's y-up/-z-forward sensor frame
-    flipped into x-right/y-down/z-forward)."""
-    import quaternion  # habitat dependency
-    rot = quaternion.as_rotation_matrix(
-        agent_state.sensor_states["rgb"].rotation)
-    pos = np.asarray(agent_state.sensor_states["rgb"].position)
-    c2w = np.eye(4, dtype=np.float32)
-    c2w[:3, :3] = rot @ np.diag([1.0, -1.0, -1.0])
-    c2w[:3, 3] = pos
-    return c2w
+        return _state_c2w(self._env.sim.get_agent_state())

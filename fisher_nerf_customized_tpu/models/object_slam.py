@@ -15,6 +15,17 @@ second Gaussian-SLAM instance dedicated to a dynamic/novel object:
 
 TPU design: reuses the fused mapping machinery with a mask channel; the
 Hutchinson probes are a vmap over cotangents of one VJP (ops/fisher.py).
+
+Round-2 optimization pass (scene-path standard, VERDICT r1 item 3):
+  * candidate scoring is batched over pose chunks — ONE XLA launch and
+    ONE device pull per chunk (`_obj_h11_batch` + the jitted scorers),
+    replacing the per-pose python loops with a blocking float() each;
+  * H_train (fisher-11 and P-opt diag) is cached per
+    (keyframes, param-version) and incrementally topped up when only
+    keyframes were appended — per-keyframe Hutchinson keys are derived
+    with fold_in(base, kf_id) so a top-up equals a full recompute;
+  * object keyframes and masks keep device-resident copies; the mapping
+    window is stacked on device instead of re-uploading per event.
 """
 from __future__ import annotations
 
@@ -25,12 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.camera import Camera
-from ..ops.fisher import (block_jtj, dopt_score_blocks,
-                          dopt_score_from_diags, hutchinson_diag,
-                          topt_score_blocks, topt_score_from_diags)
+from ..ops.fisher import (block_jtj, dopt_score_blocks, hutchinson_diag,
+                          topt_score_blocks)
 from ..ops.image import calc_ssim
-from ..ops.rasterize import render
-from ..utils.geometry import invert_se3
 from .gaussian_state import adam_init, adam_step
 from .slam import (GaussianSLAM, MappingConfig, _gaussian_rendervars,
                    _render_rgbd)
@@ -125,6 +133,117 @@ def _project_outside_mask(means3D, n_active, w2c, obj_mask, opacities,
     return outside_active, inside & active
 
 
+def _h11_layout(out):
+    """compute_Hessian's (N, 11) layout: [means(3), opacity(1), scales(3),
+    rotations(4)] (reference gaussian_object.py:1940-2045)."""
+    return jnp.concatenate([out["means"], out["opacity"], out["scales"],
+                            out["rotations"]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings",
+                                             "n_probes"))
+def _obj_h11_batch(params, n_active, w2cs, keys, camera: Camera, settings,
+                   n_probes: int):
+    """Hutchinson (B, N, 11) Hessian diagonals for a batch of poses in ONE
+    XLA launch (replaces the reference's per-pose python loop,
+    gaussian_object.py:1600)."""
+    active = jnp.arange(params["means3D"].shape[0]) < n_active
+    scales = jnp.exp(params["log_scales"])
+    quats = params["unnorm_rotations"]
+    opac = jax.nn.sigmoid(params["logit_opacities"][:, 0])
+    colors = params["rgb_colors"]
+
+    def one(w2c, key):
+        mc = params["means3D"] @ w2c[:3, :3].T + w2c[:3, 3]
+        out = hutchinson_diag(camera, mc, scales, quats, opac, colors, key,
+                              n_probes=n_probes, active=active,
+                              settings=settings)
+        return _h11_layout(out)
+    return jax.vmap(one)(w2cs, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings",
+                                             "n_probes"))
+def _obj_fisher_scores(params, n_active, w2cs, keys, h_inv, camera: Camera,
+                       settings, n_probes: int):
+    """Fisher EIG per pose: sum(H_pose * 1/(H_train+0.1)) over the 11-dim
+    Hessian (reference gaussian_object.py:1591-1625), batched."""
+    h = _obj_h11_batch(params, n_active, w2cs, keys, camera, settings,
+                       n_probes)
+    return jnp.einsum("bnd,nd->b", h, h_inv)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings",
+                                             "n_probes", "criterion"))
+def _obj_popgs_scores(params, n_active, w2cs, keys, h_train11, lam,
+                      camera: Camera, settings, n_probes: int,
+                      criterion: str):
+    """T-opt / D-opt scores per pose from diag JᵀJ updates (reference
+    gaussian_object.py:1632-1672), batched over poses.
+
+    Sums run over ACTIVE rows only: inactive (zero) rows would add a
+    constant -count/λ T-opt offset that is ranking-neutral in exact
+    arithmetic but absorbs the between-pose deltas in f32."""
+    h = _obj_h11_batch(params, n_active, w2cs, keys, camera, settings,
+                       n_probes)                      # (B, N, 11)
+    active = (jnp.arange(params["means3D"].shape[0]) < n_active)[None, :, None]
+    if criterion == "topt":
+        inv = 1.0 / jnp.maximum(h_train11[None] + h + lam, 1e-12)
+        return -jnp.sum(jnp.where(active, inv, 0.0), axis=(1, 2))
+    hm = jnp.maximum(h_train11[None] + lam, 1e-12)
+    hpi = jnp.maximum(hm + h, 1e-12)
+    gain = jnp.log(hpi) - jnp.log(hm)                 # 0 where h == 0
+    return jnp.sum(jnp.where(active, gain, 0.0), axis=(1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings",
+                                             "n_probes", "criterion"))
+def object_path_scores(params, n_active, h_train11, acc_w2cs, acc_valid,
+                       lengths, final_eigs, keys, lam, w_point, w_end,
+                       camera: Camera, settings, n_probes: int,
+                       criterion: str):
+    """Batched object path evaluation — ALL paths in one launch.
+
+    Reference semantics (tester:1977-2107 path_object_evaluation fisher /
+    :2109-2204 path_evaluation_popgs): per path, per acc step, score the
+    pose against the running per-path prior and fold its information in.
+    acc_w2cs: (P, A', 4, 4) poses at the acc steps, acc_valid: (P, A'),
+    keys: (A', P, 2) per-step Hutchinson keys, lengths: (P,) full action
+    counts.  criterion: 'fisher' | 'topt' | 'dopt'.
+    """
+    n_paths = acc_w2cs.shape[0]
+    active = (jnp.arange(params["means3D"].shape[0])
+              < n_active)[None, :, None]
+
+    def step(carry, inp):
+        h_paths, totals = carry                    # (P, N, 11), (P,)
+        w2cs_s, ok_s, keys_s = inp
+        cur = _obj_h11_batch(params, n_active, w2cs_s, keys_s, camera,
+                             settings, n_probes)   # (P, N, 11)
+        if criterion == "fisher":
+            raw = jnp.sum(cur / (h_paths + lam), axis=(1, 2))
+            point = jnp.log(jnp.maximum(raw, 1e-30))
+        elif criterion == "topt":
+            inv = 1.0 / jnp.maximum(h_paths + cur + lam, 1e-12)
+            point = -jnp.sum(jnp.where(active, inv, 0.0), axis=(1, 2))
+        else:                                      # dopt
+            hm = jnp.maximum(h_paths + lam, 1e-12)
+            gain = jnp.log(jnp.maximum(hm + cur, 1e-12)) - jnp.log(hm)
+            point = jnp.sum(jnp.where(active, gain, 0.0), axis=(1, 2))
+        totals = totals + jnp.where(ok_s, w_point * point, 0.0)
+        h_paths = h_paths + jnp.where(ok_s, 1.0, 0.0)[:, None, None] * cur
+        return (h_paths, totals), None
+
+    h0 = jnp.broadcast_to(h_train11[None], (n_paths,) + h_train11.shape)
+    (_h, totals), _ = jax.lax.scan(
+        step, (h0, jnp.zeros((n_paths,))),
+        (jnp.swapaxes(acc_w2cs, 0, 1), jnp.swapaxes(acc_valid, 0, 1), keys))
+    length = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    return jnp.where(w_end > 0,
+                     totals / length + w_end * final_eigs,
+                     (totals + final_eigs) / length)
+
+
 class GaussianObjectSLAM(GaussianSLAM):
     """Object-centric SLAM with the reference GaussianObjectSLAM API."""
 
@@ -137,11 +256,24 @@ class GaussianObjectSLAM(GaussianSLAM):
         self.hutch_probes = int(cfg.tpu.hutchinson_probes)
         self.outside_alpha_thresh = 0.01
         self.keyframe_masks: list[np.ndarray] = []
+        self._masks_dev: list = []           # device-resident mask copies
         self._key = jax.random.PRNGKey(self.start_frame_idx)
+        # base key for per-keyframe Hutchinson probes: fold_in(base, kf_id)
+        # makes the incremental H_train top-up equal a full recompute
+        self._kf_base_key = jax.random.PRNGKey(self.start_frame_idx + 7919)
+        self.obj_pose_chunk = int(cfg.tpu.get("object_pose_chunk", 8))
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _kf_keys(self, kf_ids):
+        return jnp.stack([jax.random.fold_in(self._kf_base_key, int(i))
+                          for i in kf_ids])
+
+    def _pose_keys(self, n):
+        base = self._next_key()
+        return jnp.stack([jax.random.fold_in(base, i) for i in range(n)])
 
     # -- lifecycle ----------------------------------------------------------
     def init(self, color, depth, w2c=None, mask=None):
@@ -150,19 +282,22 @@ class GaussianObjectSLAM(GaussianSLAM):
         if mask is None:
             mask = np.ones_like(depth, bool)
         mask = np.asarray(mask, bool).reshape(depth.shape)
-        masked_depth = np.where(mask, depth, 0.0)
         w2c = np.eye(4, dtype=np.float32) if w2c is None \
             else np.asarray(w2c, np.float32)
         self.frame_idx = 0
         self.poses_w2c = [w2c]
         from .slam import _init_first_frame
         self._ensure_capacity(int(mask.sum()) + 16)
+        color_dev, depth_dev = jnp.asarray(color), jnp.asarray(depth)
+        mask_dev = jnp.asarray(mask)
         state, _dropped, n_added = _init_first_frame(
-            self.state, jnp.asarray(color), jnp.asarray(masked_depth),
+            self.state, color_dev, jnp.where(mask_dev, depth_dev, 0.0),
             jnp.asarray(w2c), 0.01, self.camera)
         self.state = state
-        self.keyframes.append(color, depth, w2c, 0)
+        self.keyframes.append(color, depth, w2c, 0,
+                              color_dev=color_dev, depth_dev=depth_dev)
         self.keyframe_masks.append(mask)
+        self._masks_dev.append(mask_dev)
         self.keyframe_time_indices.append(0)
         self.initialized = True
         return int(n_added)
@@ -180,25 +315,37 @@ class GaussianObjectSLAM(GaussianSLAM):
                else self.poses_w2c[-1])
         self.poses_w2c.append(w2c)
 
-        if mask.sum() > 0 and (time_idx + 1) % self.map_obj_every == 0:
-            self._object_mapping_event(color, depth, w2c, mask, time_idx)
-
-        if mask.sum() > 0 and (time_idx + 1) % self.keyframe_obj_every == 0:
-            self.keyframes.append(color, depth, w2c, time_idx)
+        is_map = mask.sum() > 0 and (time_idx + 1) % self.map_obj_every == 0
+        is_kf = mask.sum() > 0 and (time_idx + 1) % self.keyframe_obj_every == 0
+        # upload the frame ONCE for both the mapping event and the keyframe
+        devs = None
+        if is_map or is_kf:
+            devs = (jnp.asarray(color), jnp.asarray(depth), jnp.asarray(mask))
+        if is_map:
+            self._object_mapping_event(color, depth, w2c, mask, time_idx,
+                                       devs=devs)
+        if is_kf:
+            self.keyframes.append(color, depth, w2c, time_idx,
+                                  color_dev=devs[0], depth_dev=devs[1])
             self.keyframe_masks.append(mask)
+            self._masks_dev.append(devs[2])
             self.keyframe_time_indices.append(time_idx)
         self.frame_idx = time_idx
 
-    def _object_mapping_event(self, color, depth, w2c, mask, time_idx):
+    def _object_mapping_event(self, color, depth, w2c, mask, time_idx,
+                              devs=None):
         # densify only masked pixels: feed a mask-zeroed depth so the
         # candidate grid ignores everything else
         from .slam import _densify
-        masked_depth = np.where(mask, depth, 0.0)
+        if devs is None:
+            devs = (jnp.asarray(color), jnp.asarray(depth),
+                    jnp.asarray(mask))
+        color_dev, depth_dev, mask_dev = devs
         ds = self.mc.downsample_pcd
         self._ensure_capacity(
             (self.camera.height // ds) * (self.camera.width // ds))
         self.state, _dropped, _added, _overflow = _densify(
-            self.state, jnp.asarray(color), jnp.asarray(masked_depth),
+            self.state, color_dev, jnp.where(mask_dev, depth_dev, 0.0),
             jnp.asarray(w2c), float(time_idx), self.camera, self.settings,
             self.mc)
 
@@ -209,10 +356,12 @@ class GaussianObjectSLAM(GaussianSLAM):
             self.keyframes, num_kf, rng=self.rng)
         if len(self.keyframes) > 0:
             selected.append(len(self.keyframes) - 1)
-        win_c = [self.keyframes.colors[i] for i in selected] + [color]
-        win_d = [self.keyframes.depths[i] for i in selected] + [depth]
+        # window stacked from DEVICE-resident keyframe copies (uploaded
+        # once at append) — no per-event ~25 MB host->device re-upload
+        win_c = [self.keyframes.color_dev(i) for i in selected] + [color_dev]
+        win_d = [self.keyframes.depth_dev(i) for i in selected] + [depth_dev]
         win_w = [self.keyframes.w2cs[i] for i in selected] + [w2c]
-        win_m = [self.keyframe_masks[i] for i in selected] + [mask]
+        win_m = [self._mask_dev(i) for i in selected] + [mask_dev]
         b = len(win_c)
         # fixed-size window batch (one compile per episode; see slam.py)
         b_max = int(self.cfg.mapping_window_size)
@@ -223,11 +372,11 @@ class GaussianObjectSLAM(GaussianSLAM):
         win_w, win_m = win_w[:b_max], win_m[:b_max]
         choices = self.rng.integers(0, min(b, b_max), size=self.mc.num_iters)
         self.state, losses = _object_mapping_phase(
-            self.state, jnp.asarray(np.stack(win_c)),
-            jnp.asarray(np.stack(win_d)), jnp.asarray(np.stack(win_w)),
-            jnp.asarray(np.stack(win_m)), jnp.asarray(choices, jnp.int32),
+            self.state, jnp.stack(win_c), jnp.stack(win_d),
+            jnp.asarray(np.stack(win_w)), jnp.stack(win_m),
+            jnp.asarray(choices, jnp.int32),
             self.camera, self.settings, self.mc)
-        self.last_losses = np.asarray(losses)
+        self.last_losses = losses     # device handle; pulled lazily
 
         # object-aware pruning: drop out-of-mask active Gaussians
         # (reference slam_external.py:345-408; done once per mapping event
@@ -241,6 +390,13 @@ class GaussianObjectSLAM(GaussianSLAM):
         keep = ~(outside | low)
         from .gaussian_state import prune_compact
         self.state, _order = prune_compact(self.state, keep)
+        # parameters changed -> invalidate the cached object H_train
+        self._param_version += 1
+
+    def _mask_dev(self, i: int):
+        if self._masks_dev[i] is None:
+            self._masks_dev[i] = jnp.asarray(self.keyframe_masks[i])
+        return self._masks_dev[i]
 
     def count_gaussians_vs_mask(self, w2c, obj_mask_2d,
                                 alpha_thresh: float = 0.01):
@@ -303,49 +459,120 @@ class GaussianObjectSLAM(GaussianSLAM):
         vis_idx = np.where(np.asarray(out["visible"]))[0]
         return out["blocks"][jnp.asarray(vis_idx)], vis_idx
 
-    def compute_H_train_popgs(self, K: int = 4):
-        h = None
-        for w2c in self.keyframes.w2cs:
-            diag, _vis = self.estimate_diag_JtJ_simple(w2c, K=K)
-            h = diag if h is None else h + diag
-        if h is None:
-            raise RuntimeError("No keyframes available for POP-GS prior.")
+    # -- cached object H_train (scene-path standard: models/slam.py:791) ----
+    def _h11_key(self, n_probes: int):
+        return (len(self.keyframes), self._param_version, self.n_active,
+                self.state.capacity, int(n_probes))
+
+    def _h11_over(self, w2cs, kf_ids, n_probes: int):
+        """Σ Hutchinson (N, 11) Hessians over keyframe poses, chunked —
+        keys derive from the keyframe index, so partial sums compose."""
+        cap = self.state.capacity
+        h = jnp.zeros((cap, 11))
+        if len(w2cs) == 0:
+            return h
+        params = self.state.params()
+        ck = min(self.obj_pose_chunk, len(w2cs))
+        for i in range(0, len(w2cs), ck):
+            chunk = np.asarray(w2cs[i:i + ck], np.float32)
+            ids = list(kf_ids[i:i + ck])
+            n_real = len(chunk)
+            if n_real < ck:
+                chunk = np.concatenate(
+                    [chunk, np.tile(np.eye(4, dtype=np.float32),
+                                    (ck - n_real, 1, 1))])
+                # pad ids live at the top of the uint32 fold_in domain
+                # (results are discarded; negative ids would overflow)
+                ids += [2**32 - 1 - j for j in range(ck - n_real)]
+            hh = _obj_h11_batch(params, self.state.n_active,
+                                jnp.asarray(chunk), self._kf_keys(ids),
+                                self.camera, self.settings, int(n_probes))
+            h = h + jnp.sum(hh[:n_real], axis=0)
         return h
+
+    def compute_H_train_obj(self, n_probes: int | None = None):
+        """Σ over keyframes of the (N, 11) Hutchinson Hessian.  Cached per
+        (keyframe-set, param-version); when only keyframes were APPENDED
+        the cache is topped up with the new frames' terms — identical to a
+        full recompute because per-keyframe probe keys are fold_in(kf_id)."""
+        n_probes = int(n_probes or self.hutch_probes)
+        key = self._h11_key(n_probes)
+        cached = getattr(self, "_h11_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        if cached is not None and cached[0][1:] == key[1:] \
+                and cached[0][0] < key[0]:
+            new_ids = list(range(cached[0][0], len(self.keyframes)))
+            h = cached[1] + self._h11_over(
+                [self.keyframes.w2cs[i] for i in new_ids], new_ids, n_probes)
+        else:
+            h = self._h11_over(self.keyframes.w2cs,
+                               list(range(len(self.keyframes))), n_probes)
+        self._h11_cache = (key, h)
+        return h
+
+    def compute_H_train_popgs(self, K: int = 4):
+        """Flat group-major diag prior [means|opacity|rotations|scales]
+        (the estimate_diag_JtJ_simple layout; reference
+        gaussian_object.py:1553-1585)."""
+        if len(self.keyframes) == 0:
+            raise RuntimeError("No keyframes available for POP-GS prior.")
+        h = self.compute_H_train_obj(n_probes=K)
+        return jnp.concatenate([h[:, :3].reshape(-1), h[:, 3].reshape(-1),
+                                h[:, 7:11].reshape(-1),
+                                h[:, 4:7].reshape(-1)])
+
+    def _chunked_scores(self, w2cs, score_chunk_fn):
+        """Dispatch all pose chunks, ONE device pull (models/slam.py:853
+        pose_eval_async pattern)."""
+        params = self.state.params()
+        keys = self._pose_keys(len(w2cs))
+        chunks = []
+        ck = min(self.obj_pose_chunk, max(len(w2cs), 1))
+        for i in range(0, len(w2cs), ck):
+            chunk = w2cs[i:i + ck]
+            kchunk = keys[i:i + ck]
+            n_real = len(chunk)
+            if n_real < ck:
+                chunk = np.concatenate(
+                    [chunk, np.tile(np.eye(4, dtype=np.float32),
+                                    (ck - n_real, 1, 1))])
+                kchunk = jnp.concatenate([kchunk, keys[:ck - n_real]])
+            s = score_chunk_fn(params, jnp.asarray(chunk), kchunk)
+            chunks.append((s, n_real))
+        pulled = jax.device_get([s for s, _ in chunks])
+        return np.concatenate(
+            [np.asarray(s)[:n] for s, (_, n) in zip(pulled, chunks)])
 
     def pose_eval(self, poses, random_gaussian_params=None, criterion=None):
         """Fisher EIG over the 11-dim per-splat Hessian (reference
-        gaussian_object.py:1591-1625)."""
+        gaussian_object.py:1591-1625), batched over pose chunks with a
+        cached H_train."""
         poses = np.asarray(poses, np.float32)
-        h_train = None
-        for w2c in self.keyframes.w2cs:
-            h = self.compute_Hessian(w2c, return_points=True)
-            h_train = h if h_train is None else h_train + h
-        if h_train is None:
-            h_train = jnp.zeros((self.state.capacity, 11))
+        h_train = (self.compute_H_train_obj() if len(self.keyframes)
+                   else jnp.zeros((self.state.capacity, 11)))
         h_inv = 1.0 / (h_train + 0.1)
-        scores = []
-        for c2w in poses:
-            cur = self.compute_Hessian(np.linalg.inv(c2w), return_points=True)
-            scores.append(float(jnp.sum(cur * h_inv)))
-        return jnp.asarray(np.asarray(scores, np.float32)), jnp.asarray(poses)
+        w2cs = np.linalg.inv(poses)
+        scores = self._chunked_scores(
+            w2cs, lambda p, c, k: _obj_fisher_scores(
+                p, self.state.n_active, c, k, h_inv, self.camera,
+                self.settings, self.hutch_probes))
+        return jnp.asarray(scores), jnp.asarray(poses)
 
     def pose_eval_popgs(self, poses, random_gaussian_params=None,
                         criterion: str = "topt", K: int = 4,
                         lam: float = 1e-6):
-        """(reference gaussian_object.py:1632-1672)"""
+        """(reference gaussian_object.py:1632-1672), batched."""
+        if criterion.lower() not in ("topt", "dopt"):
+            raise ValueError("criterion must be 'topt' or 'dopt'")
         poses = np.asarray(poses, np.float32)
-        h_train = self.compute_H_train_popgs(K=K)
-        scores = []
-        for c2w in poses:
-            diag, _vis = self.estimate_diag_JtJ_simple(np.linalg.inv(c2w), K=K)
-            if criterion.lower() == "topt":
-                s = topt_score_from_diags(h_train, diag, lam)
-            elif criterion.lower() == "dopt":
-                s = dopt_score_from_diags(h_train, diag, lam)
-            else:
-                raise ValueError("criterion must be 'topt' or 'dopt'")
-            scores.append(float(s))
-        return jnp.asarray(np.asarray(scores, np.float32)), jnp.asarray(poses)
+        h_train = self.compute_H_train_obj(n_probes=K)
+        w2cs = np.linalg.inv(poses)
+        scores = self._chunked_scores(
+            w2cs, lambda p, c, k: _obj_popgs_scores(
+                p, self.state.n_active, c, k, h_train, lam, self.camera,
+                self.settings, int(K), criterion.lower()))
+        return jnp.asarray(scores), jnp.asarray(poses)
 
     def pose_eval_popgs_blocks(self, poses, random_gaussian_params=None,
                                criterion: str = "topt", K: int = 6,
@@ -355,26 +582,32 @@ class GaussianObjectSLAM(GaussianSLAM):
         poses = np.asarray(poses, np.float32)
         # train blocks over keyframes (aligned by splat index — the
         # fixed-capacity layout makes the reference's visible-set
-        # intersection a plain index mask)
-        h_blocks, train_vis = None, None
-        for w2c in self.keyframes.w2cs:
-            b, vis = self._blocks_full(w2c, K)
-            h_blocks = b if h_blocks is None else h_blocks + b
-            train_vis = vis if train_vis is None else (train_vis | vis)
-        if h_blocks is None:
-            raise RuntimeError("No keyframes available for POP-GS blocks.")
-        scores = []
-        for c2w in poses:
+        # intersection a plain index mask); cached per
+        # (keyframe-set, param-version) like the diag H_train
+        key = self._h11_key(K) + ("blocks",)
+        cached = getattr(self, "_blocks_cache", None)
+        if cached is not None and cached[0] == key:
+            h_blocks, train_vis = cached[1]
+        else:
+            h_blocks, train_vis = None, None
+            for w2c in self.keyframes.w2cs:
+                b, vis = self._blocks_full(w2c, K)
+                h_blocks = b if h_blocks is None else h_blocks + b
+                train_vis = vis if train_vis is None else (train_vis | vis)
+            if h_blocks is None:
+                raise RuntimeError(
+                    "No keyframes available for POP-GS blocks.")
+            self._blocks_cache = (key, (h_blocks, train_vis))
+        if criterion.lower() not in ("topt", "dopt"):
+            raise ValueError("criterion must be 'topt' or 'dopt'")
+        score_fn = (topt_score_blocks if criterion.lower() == "topt"
+                    else dopt_score_blocks)
+        handles = []
+        for c2w in poses:          # dispatch all, pull ONCE
             jb, cur_vis = self._blocks_full(np.linalg.inv(c2w), K)
-            valid = train_vis & cur_vis
-            if criterion.lower() == "topt":
-                s = topt_score_blocks(h_blocks, jb, valid, lam)
-            elif criterion.lower() == "dopt":
-                s = dopt_score_blocks(h_blocks, jb, valid, lam)
-            else:
-                raise ValueError("criterion must be 'topt' or 'dopt'")
-            scores.append(float(s))
-        return jnp.asarray(np.asarray(scores, np.float32)), jnp.asarray(poses)
+            handles.append(score_fn(h_blocks, jb, train_vis & cur_vis, lam))
+        scores = np.asarray(jax.device_get(handles), np.float32)
+        return jnp.asarray(scores), jnp.asarray(poses)
 
     def _blocks_full(self, w2c, K):
         params = self.state.params()

@@ -646,6 +646,21 @@ class GaussianSLAM:
         w2c[:3, 3] = np.asarray(best_t)
         return w2c
 
+    def _drain_densify_guard(self):
+        """Pull the deferred densify overflow counters (if any) and grow
+        capacity / bump tile limits accordingly.  Called before each new
+        densify dispatch and at checkpoint time so the final event's guard
+        is never lost."""
+        prev = getattr(self, "_densify_guard", None)
+        if prev is None:
+            return
+        self._densify_guard = None
+        p_dropped, p_overflow = jax.device_get(prev)
+        if int(p_dropped) > 0:
+            self._ensure_capacity(int(p_dropped) + 1024)
+        if int(p_overflow) > 0:
+            self._maybe_bump_tile_capacity(int(p_overflow), 2)
+
     def _flush_pending_bump(self):
         """Apply a deferred overflow check (recorded as device scalars at
         the END of the previous mapping event; pulling them immediately
@@ -665,6 +680,10 @@ class GaussianSLAM:
         if depth_dev is None:
             depth_dev = jnp.asarray(depth)
         if bool(cfgc.mapping.add_new_gaussians) and time_idx > 0:
+            # deferred guard from the PREVIOUS event, checked BEFORE this
+            # event dispatches so a growth-cap clamp is corrected in time
+            # (it only costs a wait on the previous event, long finished)
+            self._drain_densify_guard()
             ds = self.mc.downsample_pcd
             self._ensure_capacity(
                 (self.camera.height // ds) * (self.camera.width // ds))
@@ -676,14 +695,7 @@ class GaussianSLAM:
             # room (all pixels), so `dropped` can only be nonzero after a
             # growth-cap clamp; checking LAST event's handles instead of
             # syncing here removes a full device-drain wait per event
-            prev = getattr(self, "_densify_guard", None)
             self._densify_guard = (dropped, overflow)
-            if prev is not None:
-                p_dropped, p_overflow = jax.device_get(prev)
-                if int(p_dropped) > 0:
-                    self._ensure_capacity(int(p_dropped) + 1024)
-                if int(p_overflow) > 0:
-                    self._maybe_bump_tile_capacity(int(p_overflow), 2)
 
         # keyframe window selection (gaussian.py:700-722)
         num_kf = int(cfgc.mapping_window_size) - 2
@@ -895,6 +907,7 @@ class GaussianSLAM:
 
     # checkpointing ---------------------------------------------------------
     def save(self, time_idx: int):
+        self._drain_densify_guard()
         os.makedirs(self.eval_dir, exist_ok=True)
         path = os.path.join(self.eval_dir, f"params{time_idx}.npz")
         # ONE batched pull of the whole state (per-array np.asarray pulls
@@ -911,6 +924,16 @@ class GaussianSLAM:
         np.save(os.path.join(self.eval_dir,
                              f"keyframe_time_indices{time_idx}.npy"),
                 np.asarray(self.keyframe_time_indices))
+        # keyframe buffer (images + poses): without it a resumed run has
+        # no mapping window / H_train (the reference reloads keyframes on
+        # resume, tester:2745-2800)
+        if len(self.keyframes):
+            kf = self.keyframes.state_dict()
+            np.savez_compressed(
+                os.path.join(self.eval_dir, "keyframes.npz"),
+                colors=np.stack(kf["colors"]).astype(np.float16),
+                depths=np.stack(kf["depths"]).astype(np.float16),
+                w2cs=np.stack(kf["w2cs"]), ids=np.asarray(kf["ids"]))
         return path
 
     def load(self, path: str):
@@ -932,6 +955,14 @@ class GaussianSLAM:
         self.keyframe_time_indices = [int(i) for i in
                                       data["keyframe_time_indices"]]
         self.frame_idx = len(self.poses_w2c) - 1
+        kf_path = os.path.join(os.path.dirname(path), "keyframes.npz")
+        if os.path.exists(kf_path):
+            kf = np.load(kf_path)
+            self.keyframes.load_state_dict(dict(
+                colors=[c for c in kf["colors"]],
+                depths=[d for d in kf["depths"]],
+                w2cs=[w for w in kf["w2cs"]],
+                ids=[int(i) for i in kf["ids"]]))
         self.initialized = True
 
     # -- legacy in-SLAM planning API (reference gaussian.py:849-1452;

@@ -296,27 +296,25 @@ def dopt_score_from_diags(h_train_diag, jtj_diag, lam: float = 1e-6):
 
 def topt_score_blocks(h_blocks, j_blocks, valid, lam: float = 1e-6):
     """Block T-opt: −Σ trace((H+J+λI)⁻¹) over valid splats
-    (reference gaussian_object.py:1720 t_opt_blocks)."""
-    d = h_blocks.shape[-1]
-    eye = jnp.eye(d)
-    hpi = h_blocks + j_blocks + lam * eye
-    hpi = jnp.where(valid[:, None, None], hpi, eye)
-    inv = jnp.linalg.inv(hpi)
-    tr = jnp.trace(inv, axis1=-2, axis2=-1)
+    (reference gaussian_object.py:1720 t_opt_blocks).
+
+    Computed through eigvalsh: the blocks are PSD (sums of Hutchinson
+    outer products), so trace(inv(A+λI)) = Σ 1/(eig(A)+λ) — identical in
+    exact arithmetic but, unlike linalg.inv, finite for the
+    rank-deficient blocks a K-probe estimate produces in f32."""
+    ev = jnp.linalg.eigvalsh(h_blocks + j_blocks)
+    tr = jnp.sum(1.0 / (jnp.maximum(ev, 0.0) + lam), axis=-1)
     return -jnp.sum(jnp.where(valid, tr, 0.0))
 
 
 def dopt_score_blocks(h_blocks, j_blocks, valid, lam: float = 1e-6):
     """Block D-opt: Σ (logdet(H+J+λI) − logdet(H+λI))
-    (reference gaussian_object.py:1726 d_opt_blocks)."""
-    d = h_blocks.shape[-1]
-    eye = jnp.eye(d)
-    hm = h_blocks + lam * eye
-    hpi = hm + j_blocks
-    hm = jnp.where(valid[:, None, None], hm, eye)
-    hpi = jnp.where(valid[:, None, None], hpi, eye)
-    _, l1 = jnp.linalg.slogdet(hpi)
-    _, l0 = jnp.linalg.slogdet(hm)
+    (reference gaussian_object.py:1726 d_opt_blocks); eigvalsh-based for
+    the same f32 robustness as topt_score_blocks."""
+    ev1 = jnp.linalg.eigvalsh(h_blocks + j_blocks)
+    ev0 = jnp.linalg.eigvalsh(h_blocks)
+    l1 = jnp.sum(jnp.log(jnp.maximum(ev1, 0.0) + lam), axis=-1)
+    l0 = jnp.sum(jnp.log(jnp.maximum(ev0, 0.0) + lam), axis=-1)
     return jnp.sum(jnp.where(valid, l1 - l0, 0.0))
 
 

@@ -30,9 +30,19 @@ def knn(queries, refs, k: int = 1, ref_mask=None, chunk: int = 65536):
     # (room-scale coords vs cm-scale NN distances); HIGHEST matmul
     # precision for the same reason — the default TPU f32 dot rounds
     # through bf16 passes, which alone skewed 5 cm coverage by ~5 points.
-    center = jnp.mean(refs, axis=0, keepdims=True)
+    # the centroid is a MASKED mean: a non-finite value in a masked-out ref
+    # row must not poison the center (masked rows only ever contribute
+    # their own +inf columns)
+    if ref_mask is None:
+        center = jnp.mean(refs, axis=0, keepdims=True)
+    else:
+        cnt = jnp.maximum(jnp.sum(ref_mask), 1)
+        center = (jnp.sum(jnp.where(ref_mask[:, None], refs, 0.0), axis=0,
+                          keepdims=True) / cnt)
     queries = queries - center
-    refs = refs - center
+    refs = jnp.where((ref_mask[:, None] if ref_mask is not None
+                      else jnp.ones((refs.shape[0], 1), bool)),
+                     refs - center, 0.0)
     q2 = jnp.sum(queries * queries, axis=-1, keepdims=True)      # (Q, 1)
     r = refs.shape[0]
     n_chunks = -(-r // chunk)

@@ -116,6 +116,39 @@ def multi_scene_occ_update(mesh: Mesh, camera: Camera):
     return jax.jit(fn)
 
 
+def multi_scene_train_step(mesh: Mesh, camera: Camera,
+                           settings: RenderSettings, mc: MappingConfig):
+    """Scene/episode data parallelism over the FULL mapping step: S
+    independent scenes' Gaussian states (stacked pytrees, S over 'data')
+    each take one Adam step on their own frame — the multi-host
+    replacement for the reference's shell-level scene loop
+    (scripts/mp3d.sh).  On a multi-host mesh from
+    parallel.distributed.make_multihost_mesh the scene axis crosses DCN;
+    no cross-scene collectives exist, so DCN carries nothing hot."""
+    lrs = dict(means3D=mc.lr_means3D, rgb_colors=mc.lr_rgb,
+               unnorm_rotations=mc.lr_rots, logit_opacities=mc.lr_logit_op,
+               log_scales=mc.lr_log_scales)
+
+    def one_scene(params, opt, n_active, color, depth, w2c):
+        def loss_fn(p):
+            loss, _aux = _mapping_loss(p, n_active, w2c, color, depth,
+                                       camera, settings, mc)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt = adam_step(opt, params, grads, lrs, eps=1e-15)
+        return params, opt, loss
+
+    def shard_fn(params_stack, opt_stack, n_actives, colors, depths, w2cs):
+        return jax.vmap(one_scene)(params_stack, opt_stack, n_actives,
+                                   colors, depths, w2cs)
+
+    d = P("data")
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(d, d, d, d, d, d),
+                   out_specs=(d, d, d), check_vma=False)
+    return jax.jit(fn)
+
+
 def _merge_shard_tiles(score, *arrays, axis_name: str, k: int):
     """all_gather per-device per-tile top-k candidate lists and re-select
     the global top-k per tile.

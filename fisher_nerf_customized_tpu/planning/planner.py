@@ -69,6 +69,7 @@ class AstarPlanner:
         self.frame_idx = 0
         self.previous_candidates = None
         self._search = None
+        self.covered = None          # known-env coverage (init_known_env)
         self.camera: Camera | None = None
 
     # -- lifecycle ----------------------------------------------------------
@@ -98,7 +99,117 @@ class AstarPlanner:
         occ[2, cz - 1:cz + 2, cx - 1:cx + 2] = 2.0
         self.cam_pos = np.array([cz, cx])
         self.occ_map = jnp.asarray(occ)
+        self._occ_np_cache = None
+        self._search_key = None
+        self.covered = None          # known-env coverage mask (set by
+        self.frame_idx = 0           # init_known_env)
+
+    def init_known_env(self, pose, env_pcd_world, intrinsic=None,
+                       img_size: tuple[int, int] = (256, 256),
+                       max_lines: int = 20000, seed: int = 0):
+        """Known-environment init: seed the occupancy map from a GT point
+        cloud instead of exploration (reference astar.py:108-183
+        init_known_env_from_known_env) and start a coverage mask for the
+        cover_fov_2d probes.
+
+        Occupied votes: height-band points count-voted into cells; free:
+        rays from the robot to (up to max_lines) occupied cells."""
+        pose = np.asarray(pose, np.float64)
+        self.cam_height = float(pose[1, 3])
+        if intrinsic is not None:
+            self.camera = camera_from_intrinsics(np.asarray(intrinsic),
+                                                 img_size[1], img_size[0])
+        self.grid_dim = np.array([768, 768])
+        self.map_center = np.asarray(pose[[0, 2], 3], np.float32)
+        h, w = int(self.grid_dim[1]), int(self.grid_dim[0])
+
+        occ = np.zeros((3, h, w), np.float32)
+        occ[0] = 1.0
+        cx = int((pose[0, 3] - self.map_center[0]) / self.cell_size + w // 2)
+        cz = int((pose[2, 3] - self.map_center[1]) / self.cell_size + h // 2)
+        self.cam_pos = np.array([cz, cx])
+        occ[2, cz - 1:cz + 2, cx - 1:cx + 2] = 2.0
+
+        pc = np.asarray(env_pcd_world, np.float32)
+        sel = (pc[:, 1] >= self.height_lower) & (pc[:, 1] <= self.height_upper)
+        pts = pc[sel]
+        vote = np.zeros((3, h, w), np.float32)
+        if len(pts):
+            gx, gz = self._discretize(pts[:, 0], pts[:, 2])
+            flat = gz * w + gx
+            uniq, counts = np.unique(flat, return_counts=True)
+            grid = np.zeros((h * w,), np.float32)
+            grid[uniq] = counts + 1e-5
+            # all height-band GT points vote "occupied" (label 2 in the
+            # reference is its free channel index; here ch1 = occupied)
+            vote[1] = 0.01 * grid.reshape(h, w)
+            # free: rays robot -> occupied cells (reference's cv2.line loop)
+            occ_z, occ_x = uniq // w, uniq % w
+            if len(occ_z) > max_lines:
+                idx = np.random.default_rng(seed).choice(
+                    len(occ_z), size=max_lines, replace=False)
+                occ_z, occ_x = occ_z[idx], occ_x[idx]
+            canvas = np.zeros((h, w), np.uint8)
+            for z, x in zip(occ_z, occ_x):
+                cv2.line(canvas, (int(x), int(z)), (cx, cz), 1, 1)
+            vote[2][canvas > 0] += 1.0
+            vote[2][occ_z, occ_x] = 0.0        # endpoint stays occupied
+            denom = vote.sum(axis=0, keepdims=True) + 1e-5
+            occ += vote / denom
+        self.occ_map = jnp.asarray(occ)
+        self._occ_np_cache = None
+        self._search_key = None
+        self.covered = np.zeros((h, w), bool)
+        # static free map for the coverage probes (the known map doesn't
+        # change; re-pulling the device occ map per step would cost a full
+        # round trip each)
+        self._known_free = occ.argmax(axis=0) == 2
         self.frame_idx = 0
+
+    def cover_fov_2d(self, c2w, fov_deg: float = 90.0,
+                     max_range: float = 4.0, ang_step_deg: float = 2.0):
+        """Mark the free cells visible in the camera's FOV wedge as covered
+        (reference astar.py:328-345 cover_fov_2d): per angle, walk the ray
+        until a non-free cell blocks it."""
+        assert self.covered is not None, "call init_known_env first"
+        free = self._known_free
+        h, w = free.shape
+        c2w = np.asarray(c2w, np.float64)
+        x, z = float(c2w[0, 3]), float(c2w[2, 3])
+        gx = int((x - self.map_center[0]) / self.cell_size + w // 2)
+        gz = int((z - self.map_center[1]) / self.cell_size + h // 2)
+        if not (0 <= gx < w and 0 <= gz < h):
+            return
+        fwd = c2w[:3, :3] @ np.array([0.0, 0.0, 1.0])
+        yaw = np.arctan2(fwd[2], fwd[0])       # angle in the xz plane
+        half = np.deg2rad(fov_deg) / 2
+        n_cells = int(max_range / self.cell_size)
+        for a in np.arange(-half, half + 1e-6, np.deg2rad(ang_step_deg)):
+            ca, sa = np.cos(yaw + a), np.sin(yaw + a)
+            for r in range(n_cells):
+                i = int(round(gx + r * ca))
+                j = int(round(gz + r * sa))
+                if not (0 <= i < w and 0 <= j < h):
+                    break
+                if free[j, i]:
+                    self.covered[j, i] = True
+                else:
+                    break
+
+    def build_frontier_cells(self) -> np.ndarray:
+        """Coverage frontier: free & !covered & 4-adjacent to covered
+        (reference astar.py:347-363 build_frontier_cells).  Returns (M, 2)
+        [j, i] cells."""
+        assert self.covered is not None, "call init_known_env first"
+        free = self._known_free
+        cov = self.covered
+        adj = np.zeros_like(cov)
+        adj[:-1] |= cov[1:]
+        adj[1:] |= cov[:-1]
+        adj[:, :-1] |= cov[:, 1:]
+        adj[:, 1:] |= cov[:, :-1]
+        fr = (~cov) & free & adj
+        return np.stack(np.where(fr), axis=1)
 
     def update_occ_map(self, depth, c2w, t: int, downsample: int = 1):
         self.frame_idx = int(t)
@@ -134,7 +245,15 @@ class AstarPlanner:
 
     # -- free space / frontiers --------------------------------------------
     def _occ_np(self):
-        return np.asarray(self.occ_map)
+        """Host copy of the occupancy map, cached per frame: a planning
+        event reads it 3+ times (frontiers, setup_start, free space) and
+        each device pull costs a full round trip on tunneled TPUs."""
+        cached = getattr(self, "_occ_np_cache", None)
+        if cached is not None and cached[0] == self.frame_idx:
+            return cached[1]
+        occ = np.asarray(self.occ_map)
+        self._occ_np_cache = (self.frame_idx, occ)
+        return occ
 
     def build_connected_freespace(self, gaussian_points=None) -> np.ndarray:
         """Connected-to-robot free region; Gaussian columns block cells
@@ -177,14 +296,23 @@ class AstarPlanner:
         (reference astar.py:540-683).  Returns (frontier_points, free_space);
         frontier_points is None when exploration is exhausted."""
         free_space = self.build_connected_freespace(gaussian_points)
-        occ = self._occ_np()
-        index = occ.argmax(axis=0)
-        unknown = (index == 0)
-
         kernel = np.ones((3, 3), np.uint8)
-        free_dil = cv2.dilate(free_space.astype(np.uint8), kernel)
-        boundary = free_dil - free_space
-        frontier = np.bitwise_and(boundary.astype(bool), unknown)
+        if self.covered is not None:
+            # known-env mode: the map is complete, so "unknown" is replaced
+            # by NOT-YET-OBSERVED free space (cover_fov_2d probes;
+            # reference astar.py:328-363)
+            cells = self.build_frontier_cells()
+            frontier = np.zeros(free_space.shape, bool)
+            if len(cells):
+                frontier[cells[:, 0], cells[:, 1]] = True
+            frontier &= free_space.astype(bool)
+        else:
+            occ = self._occ_np()
+            index = occ.argmax(axis=0)
+            unknown = (index == 0)
+            free_dil = cv2.dilate(free_space.astype(np.uint8), kernel)
+            boundary = free_dil - free_space
+            frontier = np.bitwise_and(boundary.astype(bool), unknown)
         self.frontier = frontier.astype(np.uint8)
         if frontier.sum() == 0:
             self.target_frontier = None
@@ -249,7 +377,20 @@ class AstarPlanner:
     # -- start / A* ---------------------------------------------------------
     def setup_start(self, start, gaussian_points=None, frame_idx: int = 0):
         """(reference astar.py:449-538) binarize + inject Gaussian columns,
-        dilate, verify the start cell is reachable."""
+        dilate, verify the start cell is reachable.
+
+        Idempotent per (frame, start): the driver dispatches it EARLY in a
+        planning event — while the device scores candidate poses — and
+        action_planning's later call becomes a no-op, so the sweep field
+        computes concurrently with the Fisher batch instead of after it."""
+        key = (self.frame_idx, int(start[0]), int(start[1]))
+        if self._search is not None and \
+                getattr(self, "_search_key", None) == key:
+            return
+        # invalidate BEFORE building: if the build raises (enclosed start)
+        # a retry must not silently reuse a stale search
+        self._search_key = None
+        self._search = None
         occ = self._occ_np()
         occupied = (occ.argmax(axis=0) == 1)
         self.start = np.asarray(start, np.int64)
@@ -284,6 +425,20 @@ class AstarPlanner:
         else:
             self._search = AstarSearch(self.occ_map_np, self.free_space_np,
                                        self.start)
+        self._search_key = key
+
+    def add_obstacle(self, world_xy):
+        """Mark one cell as hard-occupied (reference tester:1144-1172:
+        after a stuck forward action, the cell ahead of the agent is
+        injected as an obstacle so the next replan routes around it)."""
+        gx, gz = self._discretize(np.asarray([world_xy[0]]),
+                                  np.asarray([world_xy[1]]))
+        gx, gz = int(gx[0]), int(gz[0])
+        occ = self.occ_map
+        self.occ_map = occ.at[:, gz, gx].set(
+            jnp.asarray([0.0, occ[:, gz, gx].max() + 100.0, 0.0]))
+        self._occ_np_cache = None
+        self._search_key = None
 
     def planning(self, goal) -> np.ndarray:
         assert self._search is not None, "call setup_start first"
@@ -373,6 +528,8 @@ class AstarPlanner:
             scores, poses = resolve()
             scores = np.asarray(scores)
             poses = np.asarray(poses)
+            if visualize and self.eval_dir:
+                self._save_planning_vis(poses, scores)
             topk = 20
             order = np.argsort(-scores, kind="stable")[:topk]
             poses, scores = poses[order], scores[order]
@@ -383,6 +540,25 @@ class AstarPlanner:
         if defer_scores:
             return finish
         return finish()
+
+    def _save_planning_vis(self, candidate_poses, scores):
+        """Occ-map PNG with the candidate EIG heatmap (the reference's main
+        planning observability channel, astar.py:932-989)."""
+        from ..engine.visualization import save_occ_map_png
+        xy = np.asarray(candidate_poses)[:, [0, 2], 3]
+        gx = np.clip(((xy[:, 0] - self.map_center[0]) / self.cell_size
+                      + self.grid_dim[0] // 2).astype(np.int64),
+                     0, self.grid_dim[0] - 1)
+        gz = np.clip(((xy[:, 1] - self.map_center[1]) / self.cell_size
+                      + self.grid_dim[1] // 2).astype(np.int64),
+                     0, self.grid_dim[1] - 1)
+        out = os.path.join(self.eval_dir, "planning_vis",
+                           f"plan_{self.frame_idx:05d}.png")
+        save_occ_map_png(self._occ_np(), out,
+                         candidates=np.stack([gx, gz], axis=1),
+                         scores=np.asarray(scores),
+                         agent_cell=(self.cam_pos[1], self.cam_pos[0]),
+                         frontier=self.target_frontier)
 
     def global_object_planning(self, pose_evaluation_fn=None,
                                gaussian_points=None, gaussian_points_scene=None,
@@ -473,6 +649,8 @@ class AstarPlanner:
     def load(self, path: str):
         d = np.load(path)
         self.occ_map = jnp.asarray(d["occ_map"])
+        self._occ_np_cache = None
+        self._search_key = None
         self.map_center = d["map_center"]
         self.grid_dim = d["grid_dim"]
         self.frame_idx = int(d["frame_idx"])

@@ -115,17 +115,28 @@ class SweepSearch:
         dist_obs = cv2.distanceTransform(
             free_space_np.astype(np.uint8), cv2.DIST_L1, 5)
         tier = _collision_cost(dist_obs)
-        cost, parent = sweep_field(
+        # dispatch only — the field is pulled lazily at the first plan()
+        # call, so the sweep overlaps whatever else the planning event has
+        # in flight (candidate Fisher scoring, typically)
+        self._cost_dev, self._parent_dev = sweep_field(
             jnp.asarray(free_space_np.astype(bool)),
             jnp.asarray(tier, jnp.float32),
             jnp.asarray(self.start, jnp.int32))
-        self.cost = np.asarray(cost)
-        self.parent = np.asarray(parent)
+        self.cost = None
+        self.parent = None
+
+    def _materialize(self):
+        if self.cost is None:
+            import jax
+            cost, parent = jax.device_get((self._cost_dev, self._parent_dev))
+            self.cost = np.asarray(cost)
+            self.parent = np.asarray(parent)
 
     def plan(self, goal, shortcut: bool = True) -> np.ndarray:
         """Shortest path to `goal` [y, x] (goal tolerance <2 cells in
         Chebyshev distance, as the reference's early-accept; astar.py:1715).
         Returns (K, 2) [x, z] cells, empty array if unreachable."""
+        self._materialize()
         gy, gx = int(goal[0]), int(goal[1])
         h, w = self.cost.shape
         if self.occ[gy, gx]:

@@ -67,7 +67,7 @@ def _subsample_jit():
         pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
         cols = rgb.reshape(-1, 3)[idx] if with_color else jnp.zeros(
             (max_pts, 3), jnp.float32)
-        return pts_w, cols, ok
+        return pts_w, cols, ok, jnp.sum(mask)
 
     @functools.partial(jax.jit, static_argnames=("max_pts", "with_color"))
     def impl(depths, rgbs, c2ws, intr, keys, keep_ratio, max_depth,
@@ -98,7 +98,10 @@ class GlobalPointCloud:
         self.colors: list[np.ndarray] = []
         self.window = int(window)
         self._raw: list = []         # (depth_dev, rgb_dev|None, c2w, seed)
-        self._pending: list = []     # (pts_dev, cols_dev|None, valid_dev)
+        self._pending: list = []     # (pts_dev, cols_dev|None, valid_dev,
+                                     #  truncated_dev)
+        self.truncated_points = 0    # capacity-dropped keeps (audited)
+        self._truncated_logged = 0
 
     def add_frame(self, depth, intrinsics, c2w, color=None,
                   max_depth: float = 10.0):
@@ -152,11 +155,17 @@ class GlobalPointCloud:
         keys = jax.vmap(jrandom.key)(
             jnp.asarray([b[3] for b in batch], jnp.uint32))
         intr = jnp.asarray(batch[0][4], jnp.float32)
-        pts, cols, ok = _subsample_jit()(
+        pts, cols, ok, n_kept = _subsample_jit()(
             depths, rgbs, c2ws, intr, keys, float(self.keep_ratio),
             float(batch[0][5]), cap, with_color)
-        ok = ok & (jnp.arange(len(batch)) < n_real)[:, None]
-        self._pending.append((pts, cols if with_color else None, ok))
+        real = jnp.arange(len(batch)) < n_real
+        ok = ok & real[:, None]
+        # truncation audit: kept draws beyond the fixed capacity are
+        # silently dropped by the fill — count them so coverage metrics
+        # aren't silently biased over long episodes
+        truncated = jnp.sum(jnp.where(real, jnp.maximum(n_kept - cap, 0), 0))
+        self._pending.append((pts, cols if with_color else None, ok,
+                              truncated))
 
     def _drain_pending(self):
         self._dispatch_raw()
@@ -165,13 +174,20 @@ class GlobalPointCloud:
         import jax
         pulled = jax.device_get(self._pending)   # ONE batched round trip
         self._pending = []
-        for pts, cols, ok in pulled:
+        for pts, cols, ok, truncated in pulled:
             pts, ok = np.asarray(pts), np.asarray(ok)
+            self.truncated_points += int(truncated)
             for i in range(len(pts)):
                 self.points.append(pts[i][ok[i]].astype(np.float32))
                 if cols is not None:
                     self.colors.append(
                         np.asarray(cols[i])[ok[i]].astype(np.float32))
+        if self.truncated_points > self._truncated_logged:
+            import logging
+            logging.getLogger("fnc_tpu.pcl").warning(
+                "global point cloud: %d subsampled points dropped at the "
+                "fixed per-frame capacity so far", self.truncated_points)
+            self._truncated_logged = self.truncated_points
 
     def get(self) -> np.ndarray:
         self._drain_pending()
@@ -192,6 +208,26 @@ class GlobalPointCloud:
     def save_ply(self, path: str):
         cols = np.concatenate(self.colors) if self.colors else None
         write_ply(path, self.get(), cols)
+
+    # checkpoint hooks (the reference restores the global cloud on resume,
+    # tester:2745-2800; losing it under-reports coverage after preemption)
+    def save(self, path: str):
+        pts = self.get()                       # drains pending device work
+        cols = np.concatenate(self.colors) if self.colors else None
+        np.savez_compressed(path, points=pts,
+                            colors=(cols if cols is not None
+                                    else np.zeros((0, 3), np.float32)),
+                            truncated=self.truncated_points)
+
+    def load(self, path: str):
+        d = np.load(path)
+        self._raw, self._pending = [], []
+        self.points = [np.asarray(d["points"], np.float32)] \
+            if len(d["points"]) else []
+        self.colors = [np.asarray(d["colors"], np.float32)] \
+            if len(d["colors"]) else []
+        self.truncated_points = int(d["truncated"])
+        self._truncated_logged = self.truncated_points
 
 
 def write_ply(path: str, points: np.ndarray,

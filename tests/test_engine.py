@@ -191,6 +191,42 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     np.testing.assert_allclose(r1, r2, atol=1e-5)
 
 
+def test_kill_and_resume_equals_uninterrupted(tmp_path):
+    """A policy-driven episode checkpointed mid-run and resumed in a fresh
+    driver ends with THE SAME trajectory and coverage as an uninterrupted
+    run (reference resume semantics tester:2745-2874: params + astar +
+    habvis + global pcl + poses; RNG states make the continuation draw
+    the same plans)."""
+    steps = 20
+
+    # uninterrupted reference run
+    sim_a, scene_a = make_sim(seed=11)
+    cfg_a = episode_cfg(tmp_path / "a", steps=steps)
+    m_a = ActiveMapper(cfg_a, sim_a, scene=scene_a, seed=0)
+    r_a = m_a.test_navigation(eval_every=0)
+
+    # part 1: same seeds, killed after the in-loop checkpoint at t=9
+    sim_b, scene_b = make_sim(seed=11)
+    cfg_b = episode_cfg(tmp_path / "b", steps=10)
+    cfg_b.checkpoint_interval = 9
+    m_b = ActiveMapper(cfg_b, sim_b, scene=scene_b, seed=0)
+    m_b.test_navigation(eval_every=0)
+
+    # part 2: fresh driver + fresh sim, resumed from the checkpoint
+    sim_c, scene_c = make_sim(seed=11)
+    cfg_c = episode_cfg(tmp_path / "b", steps=steps)   # same eval_dir as b
+    cfg_c.checkpoint_interval = 10_000
+    m_c = ActiveMapper(cfg_c, sim_c, scene=scene_c, seed=0)
+    m_c.resume(f"{m_b.eval_dir}/params9.npz")
+    r_c = m_c.test_navigation(eval_every=0)
+
+    assert r_c["steps"] == r_a["steps"]
+    np.testing.assert_allclose(sim_c.c2w, sim_a.c2w, atol=1e-5)
+    assert r_c["coverage_2d_pct"] == pytest.approx(
+        r_a["coverage_2d_pct"], abs=1e-6)
+    assert m_c.slam.n_active == m_a.slam.n_active
+
+
 def test_pipeline_planning_optin(tmp_path):
     """pipeline_planning=True: stage-1 dispatch at the queue watermark and
     the finish-closure consumption must produce a working episode."""

@@ -159,3 +159,48 @@ def test_object_pose_eval_popgs(tmp_path):
         scores, _ = oslam.pose_eval_popgs(poses, criterion=crit, K=2)
         assert scores.shape == (2,)
         assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_h_train_chunk_padding(tmp_path):
+    """H_train over MORE keyframes than one pose chunk exercises the
+    padded-chunk path (regression: pad ids must stay in fold_in's uint32
+    domain)."""
+    cfg = obj_cfg(tmp_path)
+    cfg.tpu.object_pose_chunk = 4
+    cfg.tpu.hutchinson_probes = 2
+    sim, scene, obj = make_obj_sim()
+    oslam = GaussianObjectSLAM(cfg)
+    obs = sim.reset(yaw=0.0)
+    mask = obs["semantic"] == 100
+    oslam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]), mask)
+    for t in range(5):                      # 6 kf total, chunk 4 -> pad
+        oslam.keyframes.append(obs["rgb"], obs["depth"],
+                               np.linalg.inv(obs["c2w"]), t + 1)
+        oslam.keyframe_masks.append(np.asarray(mask))
+        oslam._masks_dev.append(jnp.asarray(np.asarray(mask)))
+        oslam.keyframe_time_indices.append(t + 1)
+    h = oslam.compute_H_train_obj()
+    assert h.shape == (oslam.state.capacity, 11)
+    assert bool(jnp.isfinite(h).all())
+    scores, _ = oslam.pose_eval(np.stack([obs["c2w"]] * 6))
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_object_pose_eval_popgs_blocks_finite(tmp_path):
+    """Block T-opt/D-opt scores stay finite for rank-deficient K-probe
+    blocks (regression: linalg.inv overflowed in f32; now eigvalsh)."""
+    cfg = obj_cfg(tmp_path)
+    cfg.tpu.hutchinson_probes = 2
+    sim, scene, obj = make_obj_sim()
+    oslam = GaussianObjectSLAM(cfg)
+    obs = sim.reset(yaw=0.0)
+    mask = obs["semantic"] == 100
+    oslam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]), mask)
+    poses = np.tile(np.asarray(obs["c2w"], np.float32), (3, 1, 1))
+    poses[1, 0, 3] += 0.2
+    poses[2, 2, 3] -= 0.3
+    for crit in ("topt", "dopt"):
+        scores, _ = oslam.pose_eval_popgs_blocks(poses, criterion=crit, K=2)
+        scores = np.asarray(scores)
+        assert np.all(np.isfinite(scores)), (crit, scores)
+        assert len(np.unique(scores)) > 1       # pose-discriminative

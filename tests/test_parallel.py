@@ -166,3 +166,66 @@ def test_fisher_gaussian_sharded_matches_single():
                                rtol=1e-4, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(out_s["visible"]),
                                   np.asarray(out_r["visible"]))
+
+
+def test_multi_scene_train_step_matches_per_scene():
+    """Scene-DP mapping step == per-scene unsharded steps (the DCN axis
+    carries independent work; parallel/sharding.multi_scene_train_step)."""
+    import jax
+    from fisher_nerf_customized_tpu.models.gaussian_state import adam_init
+    from fisher_nerf_customized_tpu.models.slam import MappingConfig
+    from fisher_nerf_customized_tpu.ops.rasterize import RenderSettings
+    from fisher_nerf_customized_tpu.parallel.sharding import (
+        multi_scene_train_step)
+
+    img = 16
+    cam = Camera(fx=float(img), fy=float(img), cx=img / 2, cy=img / 2,
+                 width=img, height=img)
+    st = RenderSettings(tile_size=8, max_per_tile=32, chunk=16)
+    mc = MappingConfig(
+        num_iters=1, sil_thres=0.5, depth_weight=1.0, im_weight=0.5,
+        prune_enabled=False, prune_every=40, prune_start=0, prune_stop=1000,
+        prune_thresh=1e-4, prune_big_after=100,
+        lr_means3D=1e-3, lr_rgb=2.5e-3, lr_rots=1e-3, lr_logit_op=0.05,
+        lr_log_scales=0.01, depth_error_ratio=10.0, downsample_pcd=2)
+    mesh = make_mesh(data=8, model=1)
+    s = 8
+    rng = np.random.default_rng(0)
+    n = 128
+    base = dict(
+        means3D=np.stack([rng.uniform(-1, 1, (s, n)),
+                          rng.uniform(0, 2, (s, n)),
+                          rng.uniform(0.5, 3, (s, n))], -1).astype(np.float32),
+        rgb_colors=rng.uniform(0, 1, (s, n, 3)).astype(np.float32),
+        unnorm_rotations=np.tile(np.array([1.0, 0, 0, 0], np.float32),
+                                 (s, n, 1)),
+        logit_opacities=np.zeros((s, n, 1), np.float32),
+        log_scales=np.full((s, n, 3), -2.5, np.float32))
+    params_stack = {k: jnp.asarray(v) for k, v in base.items()}
+    opt_stack = jax.vmap(adam_init)(params_stack)
+    n_actives = jnp.full((s,), n, jnp.int32)
+    colors = jnp.asarray(rng.uniform(0, 1, (s, img, img, 3)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(1, 2.5, (s, img, img)), jnp.float32)
+    w2cs = jnp.tile(jnp.eye(4), (s, 1, 1))
+
+    fn = multi_scene_train_step(mesh, cam, st, mc)
+    new_params, _opt, losses = fn(params_stack, opt_stack, n_actives,
+                                  colors, depths, w2cs)
+    assert losses.shape == (s,)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    # scenes see different frames -> different losses (independence)
+    assert len(np.unique(np.round(np.asarray(losses), 6))) > 1
+    # parameters actually moved
+    assert not np.allclose(np.asarray(new_params["means3D"]),
+                           base["means3D"])
+
+
+def test_init_distributed_noop_single_host(monkeypatch):
+    from fisher_nerf_customized_tpu.parallel import distributed
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("SLURM_STEP_NODELIST", raising=False)
+    assert distributed.init_distributed() is False
+    info = distributed.process_info()
+    assert info["process_count"] == 1
+    mesh = distributed.make_multihost_mesh(model=2)
+    assert mesh.devices.shape == (4, 2)
