@@ -413,13 +413,26 @@ class ActiveMapper:
             # raycast is dispatched BEFORE the heavy mapping dispatches
             # and computes concurrently with them (sim.step then only
             # pays the pull)
-            if (self.traj_actions is None and self.queue
-                    and hasattr(self.sim, "prefetch")):
-                self.sim.prefetch(self.queue[0])
-            elif (self.traj_actions is not None
-                    and t < len(self.traj_actions)
-                    and hasattr(self.sim, "prefetch")):
-                self.sim.prefetch(int(self.traj_actions[t]))
+            with self.timer.phase("prefetch"):
+                if (self.traj_actions is None and self.queue
+                        and hasattr(self.sim, "prefetch")):
+                    self.sim.prefetch(self.queue[0])
+                elif (self.traj_actions is not None
+                        and t < len(self.traj_actions)
+                        and hasattr(self.sim, "prefetch")):
+                    self.sim.prefetch(int(self.traj_actions[t]))
+            # pipelined planning stage 1 runs BEFORE this step's
+            # tracking/mapping dispatch: its host pulls (occ labels,
+            # gaussian means) then wait only on prior small work, and the
+            # candidate Fisher chunks land on the device stream AHEAD of
+            # the mapping event — both compute while the remaining queued
+            # actions execute (the device stream is in-order, so ordering
+            # the dispatches IS the schedule)
+            if (self.pipeline_planning and self.upen is None
+                    and self.traj_actions is None
+                    and 0 < len(self.queue) <= self.plan_watermark):
+                with self.timer.phase("planning"):
+                    self.prepare_planning(c2w, t)
             with self.timer.phase("tracking_mapping"):
                 self.slam.track_rgbd(obs["rgb"], obs["depth"],
                                      gt_w2c=np.linalg.inv(c2w))
@@ -447,14 +460,16 @@ class ActiveMapper:
                 action = int(self.traj_actions[t])
             else:
                 if (self.policy_name == "gaussians_based" and self.upen is None
-                        and len(self.queue) <= self.plan_watermark + 2):
+                        and len(self.queue) <= max(self.plan_watermark + 2,
+                                                   int(self.cfg.map_every)
+                                                   + 2)):
                     # dispatch H_train ahead of the planning event (device
-                    # handle cached; zero staleness — same keyframes/params)
-                    self.slam.prewarm_H_train()
-                if (self.pipeline_planning and self.upen is None
-                        and 0 < len(self.queue) <= self.plan_watermark):
-                    with self.timer.phase("planning"):
-                        self.prepare_planning(c2w, t)
+                    # handle cached; zero staleness — same keyframes/params).
+                    # The window spans a full map_every so the re-dispatch
+                    # lands right after the LAST mapping event before the
+                    # queue drains; the cache-key check itself is pull-free
+                    with self.timer.phase("prewarm"):
+                        self.slam.prewarm_H_train()
                 try:
                     while not self.queue:
                         with self.timer.phase("planning"):

@@ -483,14 +483,38 @@ class GaussianSLAM:
 
     # -- helpers ------------------------------------------------------------
     @property
+    def state(self):
+        return self._state
+
+    @state.setter
+    def state(self, s):
+        # every state mutation bumps the epoch, which keys the host-side
+        # pull caches below (each un-cached int(state.n_active) /
+        # np.asarray(means3D) is a full blocking device round trip — on
+        # tunneled TPUs these dominated the planning events)
+        self._state = s
+        self._state_epoch = getattr(self, "_state_epoch", 0) + 1
+
+    @property
     def n_active(self) -> int:
-        return int(self.state.n_active)
+        c = getattr(self, "_n_active_cache", None)
+        if c is not None and c[0] == self._state_epoch:
+            return c[1]
+        n = int(self.state.n_active)
+        self._n_active_cache = (self._state_epoch, n)
+        return n
 
     @property
     def gaussian_points(self):
         """Active world-frame means (N, 3) as numpy (reference exposes
-        slam.gaussian_points to the planner)."""
-        return np.asarray(self.state.means3D)[: self.n_active]
+        slam.gaussian_points to the planner); pulled once per state
+        epoch."""
+        c = getattr(self, "_gpts_cache", None)
+        if c is not None and c[0] == self._state_epoch:
+            return c[1]
+        pts = np.asarray(self.state.means3D)[: self.n_active]
+        self._gpts_cache = (self._state_epoch, pts)
+        return pts
 
     def get_gaussian_xyz(self):
         return jnp.asarray(self.gaussian_points)

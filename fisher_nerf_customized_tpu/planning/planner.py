@@ -19,7 +19,8 @@ import numpy as np
 
 from ..ops.camera import Camera, camera_from_intrinsics
 from .astar import AstarSearch, check_collision_free
-from .candidates import (generate_candidates, generate_random_gaussians,
+from .candidates import (generate_candidates, generate_candidates_object,
+                         generate_random_gaussians,
                          sample_random_candidates)
 from .occupancy import occ_update
 
@@ -100,6 +101,7 @@ class AstarPlanner:
         self.cam_pos = np.array([cz, cx])
         self.occ_map = jnp.asarray(occ)
         self._occ_np_cache = None
+        self._occ_idx_cache = None
         self._search_key = None
         self.covered = None          # known-env coverage mask (set by
         self.frame_idx = 0           # init_known_env)
@@ -158,6 +160,7 @@ class AstarPlanner:
             occ += vote / denom
         self.occ_map = jnp.asarray(occ)
         self._occ_np_cache = None
+        self._occ_idx_cache = None
         self._search_key = None
         self.covered = np.zeros((h, w), bool)
         # static free map for the coverage probes (the known map doesn't
@@ -255,11 +258,22 @@ class AstarPlanner:
         self._occ_np_cache = (self.frame_idx, occ)
         return occ
 
+    def _occ_index_np(self):
+        """Host copy of the occupancy LABEL map (argmax over channels),
+        cached per frame.  Planning only ever consumes the labels; pulling
+        the uint8 label map moves ~0.6 MB over the tunnel instead of the
+        6.8 MB float occupancy (the single largest per-event transfer)."""
+        cached = getattr(self, "_occ_idx_cache", None)
+        if cached is not None and cached[0] == self.frame_idx:
+            return cached[1]
+        idx = np.asarray(jnp.argmax(self.occ_map, axis=0).astype(jnp.uint8))
+        self._occ_idx_cache = (self.frame_idx, idx)
+        return idx
+
     def build_connected_freespace(self, gaussian_points=None) -> np.ndarray:
         """Connected-to-robot free region; Gaussian columns block cells
         (reference astar.py:401-447)."""
-        occ = self._occ_np()
-        index = occ.argmax(axis=0)
+        index = self._occ_index_np()
         free = (index == 2)
 
         if free.sum() > 18 and gaussian_points is not None:
@@ -307,9 +321,7 @@ class AstarPlanner:
                 frontier[cells[:, 0], cells[:, 1]] = True
             frontier &= free_space.astype(bool)
         else:
-            occ = self._occ_np()
-            index = occ.argmax(axis=0)
-            unknown = (index == 0)
+            unknown = (self._occ_index_np() == 0)
             free_dil = cv2.dilate(free_space.astype(np.uint8), kernel)
             boundary = free_dil - free_space
             frontier = np.bitwise_and(boundary.astype(bool), unknown)
@@ -391,8 +403,7 @@ class AstarPlanner:
         # a retry must not silently reuse a stale search
         self._search_key = None
         self._search = None
-        occ = self._occ_np()
-        occupied = (occ.argmax(axis=0) == 1)
+        occupied = (self._occ_index_np() == 1)
         self.start = np.asarray(start, np.int64)
 
         if gaussian_points is not None:
@@ -438,6 +449,7 @@ class AstarPlanner:
         self.occ_map = occ.at[:, gz, gx].set(
             jnp.asarray([0.0, occ[:, gz, gx].max() + 100.0, 0.0]))
         self._occ_np_cache = None
+        self._occ_idx_cache = None
         self._search_key = None
 
     def planning(self, goal) -> np.ndarray:
@@ -560,13 +572,37 @@ class AstarPlanner:
                          agent_cell=(self.cam_pos[1], self.cam_pos[0]),
                          frontier=self.target_frontier)
 
+    def build_object_frontiers(self, gaussian_points):
+        """The object's 2D footprint cells in world coords (reference
+        astar.py:686 build_object_frontiers): discretize the object's
+        Gaussians, keep cells hit by >3 points.  Candidate rings anchor on
+        these cells rather than the bare centroid, so large/elongated
+        objects get viewpoints distributed around their whole extent."""
+        if gaussian_points is None:
+            return None
+        pts = np.asarray(gaussian_points)
+        if len(pts) == 0:
+            return None
+        gx, gz = self._discretize(pts[:, 0], pts[:, 2])
+        flat = gz * self.grid_dim[0] + gx
+        uniq, counts = np.unique(flat, return_counts=True)
+        uniq = uniq[counts > 3]
+        if len(uniq) == 0:
+            return None
+        cells = np.stack([uniq % self.grid_dim[0],
+                          uniq // self.grid_dim[0]], axis=1)   # [x, z]
+        return (cells - np.array([[self.grid_dim[0] // 2,
+                                   self.grid_dim[1] // 2]])) \
+            * self.cell_size + self.map_center[None, :]
+
     def global_object_planning(self, pose_evaluation_fn=None,
                                gaussian_points=None, gaussian_points_scene=None,
                                expansion=1, visualize=False, agent_pose=None,
                                criterion: str | None = None):
-        """Candidate poses on rings around the OBJECT's Gaussians, scored
-        by the object SLAM's pose_eval / P-opt criteria (reference
-        astar.py:1151 global_object_planning + generate_candidate_object).
+        """Candidate poses on a sorted angular/radial grid anchored on the
+        object's footprint cells, scored by the object SLAM's pose_eval /
+        P-opt criteria (reference astar.py:1151 global_object_planning +
+        :1471 generate_candidate_adv_object mode='sorted').
         gaussian_points: object Gaussians; gaussian_points_scene: scene
         Gaussians (for free-space blocking)."""
         if gaussian_points is None or len(np.asarray(gaussian_points)) == 0:
@@ -574,12 +610,16 @@ class AstarPlanner:
         obj_pts = np.asarray(gaussian_points)
         free_space = self.build_connected_freespace(gaussian_points_scene)
 
-        center = obj_pts[:, [0, 2]].mean(axis=0, keepdims=True)
+        anchors = self.build_object_frontiers(obj_pts)
+        if anchors is None:
+            anchors = obj_pts[:, [0, 2]]
+        if self.centering:
+            anchors = anchors.mean(axis=0, keepdims=True)
         exp = float(expansion)
         candidate_pose = np.zeros((0, 4, 4), np.float32)
         while len(candidate_pose) == 0 and exp < 100:
-            candidate_pose = generate_candidates(
-                center, self.K_object, self.radius_object,
+            candidate_pose = generate_candidates_object(
+                anchors, self.K_object, self.radius_object,
                 self.min_range_object, self.cam_height, self.rng,
                 expansion=exp)
             exp *= 1.5
@@ -650,6 +690,7 @@ class AstarPlanner:
         d = np.load(path)
         self.occ_map = jnp.asarray(d["occ_map"])
         self._occ_np_cache = None
+        self._occ_idx_cache = None
         self._search_key = None
         self.map_center = d["map_center"]
         self.grid_dim = d["grid_dim"]

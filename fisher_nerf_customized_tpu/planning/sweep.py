@@ -129,7 +129,7 @@ class SweepSearch:
         if self.cost is None:
             import jax
             cost, parent = jax.device_get((self._cost_dev, self._parent_dev))
-            self.cost = np.asarray(cost)
+            self.cost = np.asarray(cost, np.float32)
             self.parent = np.asarray(parent)
 
     def plan(self, goal, shortcut: bool = True) -> np.ndarray:

@@ -54,6 +54,17 @@ def build(policy: str, steps: int, seed: int = 11,
     cfg.path_end_weight = 30.0
     cfg.tpu.pose_chunk = 32
     cfg.tpu.mapping_frames_per_iter = frames_per_iter
+    # ad-hoc overrides for A/B gates: QUALITY_SET="tpu.pipeline_planning=True"
+    import ast
+    for kv in os.environ.get("QUALITY_SET", "").split(","):
+        if not kv.strip():
+            continue
+        key, val = kv.split("=", 1)
+        node = cfg
+        parts = key.strip().split(".")
+        for p_ in parts[:-1]:
+            node = getattr(node, p_)
+        setattr(node, parts[-1], ast.literal_eval(val))
 
     cam = Camera(fx=128.0, fy=128.0, cx=128.0, cy=128.0,
                  width=256, height=256)

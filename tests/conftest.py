@@ -16,6 +16,23 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NOTE: no persistent compilation cache — the container migrates between
-# hosts with different CPU feature sets and XLA:CPU AOT artifacts are not
-# machine-portable ("could lead to execution errors such as SIGILL").
+# Persistent compilation cache, keyed by a CPU-feature fingerprint:
+# XLA:CPU AOT artifacts are not machine-portable (SIGILL on a host with
+# different ISA extensions), so the cache directory embeds a hash of the
+# host's cpuinfo flags — a migrated container gets a fresh cache instead
+# of a poisoned one.  Cuts repeat full-suite runs from ~20 min to the
+# actual test compute.
+def _cpu_fingerprint():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith("flags")][:1]
+        return hashlib.sha1("".join(flags).encode()).hexdigest()[:12]
+    except Exception:
+        return "nofp"
+
+
+_cache_dir = f"/tmp/fnc_jax_test_cache_{_cpu_fingerprint()}"
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
