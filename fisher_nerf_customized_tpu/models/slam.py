@@ -403,6 +403,31 @@ def _pose_scores(state: GaussianState, w2cs, h_train_inv, camera: Camera,
     return jnp.sum(out["H"] * h_train_inv[None], axis=(1, 2))
 
 
+@functools.partial(jax.jit, static_argnames=("camera",))
+def _seen_from_poses(state: GaussianState, w2cs, n_poses, camera: Camera):
+    """(cap,) bool: Gaussian visible (radius > 0, the reference's
+    prune-invisible criterion) from ANY of the first n_poses poses.
+    Preprocess only — no rasterization — so pruning over all keyframes is
+    one cheap launch instead of chunked Fisher renders.  w2cs is padded to
+    a bucketed length (shape-stable across keyframe growth); padding rows
+    are masked by n_poses."""
+    from ..ops.projection import preprocess
+    params = state.params()
+    means_w = params["means3D"]
+    scales = jnp.exp(params["log_scales"])
+    quats = params["unnorm_rotations"]
+    active = jnp.arange(means_w.shape[0]) < state.n_active
+
+    def one(w2c):
+        mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
+        prep = preprocess(mc, scales, quats, camera, active=active)
+        return prep.radius > 0
+
+    vis = jax.vmap(one)(w2cs)                                  # (P, cap)
+    pose_ok = jnp.arange(w2cs.shape[0]) < n_poses
+    return jnp.any(vis & pose_ok[:, None], axis=0)
+
+
 class GaussianSLAM:
     """Host-side orchestrator with the reference GaussianSLAM API
     (reference models/SLAM/gaussian.py:416)."""
@@ -1021,26 +1046,36 @@ class GaussianSLAM:
 
     def prune_invisible(self, w2cs=None):
         """Drop Gaussians invisible from every given (or keyframe) pose
-        (reference gaussian.py:1318-1326 invisible-gaussian pruning)."""
+        (reference gaussian.py:1318-1326 invisible-gaussian pruning).
+
+        Visibility is preprocess-only (radius > 0 — the reference's
+        criterion) in ONE bucketed launch, and when nothing is removed the
+        state is left untouched so the H_train / host-pull caches survive;
+        when rows ARE removed the cached H_train is permuted by the
+        compaction order instead of being recomputed (each keyframe's
+        Hessian row rides with its Gaussian)."""
         w2cs = self.keyframes.stacked_w2cs() if w2cs is None else \
             np.asarray(w2cs, np.float32)
         if len(w2cs) == 0:
             return 0
-        seen = np.zeros((self.state.capacity,), bool)
         ck = self.pose_chunk
-        for i in range(0, len(w2cs), ck):
-            chunk = w2cs[i:i + ck]
-            n_real = len(chunk)
-            if n_real < ck:
-                chunk = np.concatenate([chunk, np.tile(
-                    np.eye(4, dtype=np.float32), (ck - n_real, 1, 1))])
-            out = _fisher_batch(self.state, jnp.asarray(chunk), self.camera,
-                                self.fisher_settings, self.fisher_engine)
-            seen |= np.asarray(out["visible"][:n_real]).any(axis=0)
+        n_real = len(w2cs)
+        pad = (-n_real) % ck
+        if pad:
+            w2cs = np.concatenate([w2cs, np.tile(
+                np.eye(4, dtype=np.float32), (pad, 1, 1))])
+        seen_dev = _seen_from_poses(self.state, jnp.asarray(w2cs), n_real,
+                                    self.camera)
+        seen = np.asarray(seen_dev)
         removed = int(self.n_active - seen[: self.n_active].sum())
-        self.state, _ = prune_compact(self.state, jnp.asarray(seen))
-        if removed:
-            self._param_version += 1
+        if removed == 0:
+            return 0
+        old_key = self._h_train_key()
+        cached = getattr(self, "_h_train_cache", None)
+        self.state, order = prune_compact(self.state, seen_dev)
+        self._param_version += 1
+        if cached is not None and cached[0] == old_key:
+            self._h_train_cache = (self._h_train_key(), cached[1][order])
         return removed
 
     def DFS_acq_score_planning(self, train_poses, is_navigable,

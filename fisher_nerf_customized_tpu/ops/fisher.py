@@ -26,11 +26,17 @@ pixels.  Two passes over the depth chunks:
 vmap over candidate poses turns the reference's per-pose Python loop
 (gaussian.py:1362) into one batched XLA launch.
 
-Parity notes: the cov2D-through-mean chain (computeCov2DCUDA's dL_dmean
-term) and the scale/rotation outputs are not yet included — the projection
-chain dominates the mean Hessian and opacity is exact; scores are used only
-to *rank* candidate views.  The incoming cotangent (1e-3) and black
-background match compute_Hessian exactly (bg term vanishes for bg=0).
+Parity notes: with full_chain=True (default) the cov2D-through-mean chain
+(computeCov2DCUDA's dL_dmean term, backward.cu:144-270) is included: the
+per-Gaussian d(conic)/d(mean_cam) Jacobian is precomputed at preprocess
+time (projection.conic_mean_jac, reference clamp quirk preserved) and
+contracted per pixel with the TRUE conic cotangent, added to the
+projection term BEFORE squaring — exactly powf(cur_dL_dmeans, 2) at
+backward.cu:1104-1107.  The scale/rotation rows the CUDA kernel also
+squares are not emitted because compute_Hessian never consumes them
+(gaussian.py:1554-1560 concatenates means+opacity only).  The incoming
+cotangent (1e-3) and black background match compute_Hessian exactly (bg
+term vanishes for bg=0).
 """
 from __future__ import annotations
 
@@ -52,23 +58,28 @@ class _CoreBins(NamedTuple):
     slot_valid: jnp.ndarray
 
 
-def _pack_params(prep, bins, opacities, colors, means_cam):
-    """One big gather into (T, K, 9+C): random-index gathers inside scan
-    bodies are pathologically slow on TPU (see rasterize._blend_tiles)."""
+def _pack_params(prep, bins, opacities, colors, means_cam, conic_jac=None):
+    """One big gather into (T, K, 10+C[+9]): random-index gathers inside
+    scan bodies are pathologically slow on TPU (see
+    rasterize._blend_tiles).  conic_jac (N, 3, 3), when given, appends the
+    9 cov2D-chain Jacobian entries (full_chain mode)."""
     idx = bins.table
-    return jnp.concatenate([
+    parts = [
         prep.mean2d[idx],                 # 0:2
         prep.conic[idx],                  # 2:5
         opacities[idx][..., None],        # 5
         prep.depth[idx][..., None],       # 6  (unused in bwd, kept packed)
         means_cam[idx],                   # 7:10
-        colors[idx],                      # 10:
-    ], axis=-1)
+        colors[idx],                      # 10:10+C
+    ]
+    if conic_jac is not None:
+        parts.append(conic_jac.reshape(-1, 9)[idx])   # 10+C : 19+C
+    return jnp.concatenate(parts, axis=-1)
 
 
-def _unpack(blk):
-    return (blk[..., 0:2], blk[..., 2:5], blk[..., 5], blk[..., 10:],
-            blk[..., 6], blk[..., 7:10])
+def _unpack(blk, n_channels: int = 3):
+    return (blk[..., 0:2], blk[..., 2:5], blk[..., 5],
+            blk[..., 10:10 + n_channels], blk[..., 6], blk[..., 7:10])
 
 
 def _pair_alpha(mu, con, opa, sval, pix_x, pix_y):
@@ -85,16 +96,24 @@ def _pair_alpha(mu, con, opa, sval, pix_x, pix_y):
     return alpha, g, dx, dy
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "settings"))
+@functools.partial(jax.jit, static_argnames=("camera", "settings",
+                                             "full_chain"))
 def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
                 grad_value: float = 1e-3, active=None,
-                settings: RenderSettings = RenderSettings()):
+                settings: RenderSettings = RenderSettings(),
+                full_chain: bool = True):
     """diag Fisher H for each Gaussian: (N, 4) = [∂μcam (3), ∂opacity (1)].
 
     Matches reference compute_Hessian's output layout
     (models/SLAM/gaussian.py:1554-1560: concat of transformed-means grad and
     opacity grad under backward_power=2, cotangent 1e-3).
     Also returns radii (N,) for the `visible = radius > 0` mask.
+
+    full_chain=True adds the cov2D-through-mean term
+    (backward.cu:144-270 computeCov2DCUDA dL_dmean, summed with the
+    projection-chain term BEFORE the per-pixel square — exactly
+    backward.cu:1104-1107 powf(cur_dL_dmeans, 2)).  False keeps the
+    round-1 reduced chain (projection term only).
     """
     st = settings
     n = means_cam.shape[0]
@@ -102,26 +121,37 @@ def fisher_diag(camera: Camera, means_cam, scales, quats, opacities, colors,
     bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
                     camera.width, camera.height, st.tile_size, st.max_per_tile)
 
+    from .projection import build_cov3d, conic_mean_jac
     from .rasterize import tile_pixel_coords
     pix_x, pix_y = tile_pixel_coords(bins.n_tiles_x, bins.n_tiles_y,
                                      st.tile_size)
-    packed = _pack_params(prep, bins, opacities, colors, means_cam)
+    cjac = None
+    if full_chain:
+        cjac = conic_mean_jac(means_cam, build_cov3d(scales, quats), camera,
+                              valid=prep.valid)
+    packed = _pack_params(prep, bins, opacities, colors, means_cam,
+                          conic_jac=cjac)
     h = fisher_core(st, camera, packed, bins.table, bins.slot_valid,
-                    pix_x, pix_y, n, grad_value)
+                    pix_x, pix_y, n, grad_value,
+                    n_channels=colors.shape[-1], full_chain=full_chain)
     return dict(H=h, radii=prep.radius, visible=prep.radius > 0)
 
 
 def fisher_core(st: RenderSettings, camera: Camera, packed, table,
                 slot_valid, pix_x, pix_y, n_out: int,
-                grad_value: float = 1e-3):
+                grad_value: float = 1e-3, n_channels: int = 3,
+                full_chain: bool = False):
     """Two-pass squared-backward over pre-packed per-tile slot data.
 
-    packed: (T, K, 10+C) rows front-to-back (layout of _pack_params);
+    packed: (T, K, 10+C[+9]) rows front-to-back (layout of _pack_params);
     table: (T, K) indices into the (n_out,)-sized output accumulator;
     pix_x/pix_y: (T, P).  Returns the (n_out, 4) Fisher diagonal.
     Factored from fisher_diag so the Gaussian-axis sharded path
     (parallel/sharding.py) can run it on merged cross-device lists with
-    global indices."""
+    global indices.  full_chain: the trailing 9 packed features are the
+    d(conic)/d(mean_cam) Jacobian rows; the per-pixel conic cotangent is
+    chained through them and ADDED to the projection term before
+    squaring."""
     n = n_out
     n_tiles, p = pix_x.shape
     n_chunks = st.max_per_tile // st.chunk
@@ -135,7 +165,7 @@ def fisher_core(st: RenderSettings, camera: Camera, packed, table,
         blk = jax.lax.dynamic_slice(packed, (0, k0, 0),
                                     (n_tiles, st.chunk, nf))
         sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
-        mu, con, opa, _col, _dep, _mc = _unpack(blk)
+        mu, con, opa, _col, _dep, _mc = _unpack(blk, n_channels)
         alpha, _g, _dx, _dy = _pair_alpha(mu, con, opa, sval, pix_x, pix_y)
         cum_last = jnp.prod(1.0 - alpha, axis=1)
         return t_carry * cum_last, t_carry
@@ -157,7 +187,7 @@ def fisher_core(st: RenderSettings, camera: Camera, packed, table,
                                     (n_tiles, st.chunk, nf))
         idx = jax.lax.dynamic_slice(bins.table, (0, k0), (n_tiles, st.chunk))
         sval = jax.lax.dynamic_slice(bins.slot_valid, (0, k0), (n_tiles, st.chunk))
-        mu, con, opa, col, _dep, mc = _unpack(blk)
+        mu, con, opa, col, _dep, mc = _unpack(blk, n_channels)
         alpha, g, dx, dy = _pair_alpha(mu, con, opa, sval, pix_x, pix_y)
 
         one_minus = 1.0 - alpha
@@ -193,6 +223,23 @@ def fisher_core(st: RenderSettings, camera: Camera, packed, table,
         gx = dl_dmx * (fx / z)
         gy = dl_dmy * (fy / z)
         gz = -(dl_dmx * fx * mc[:, :, 0:1] + dl_dmy * fy * mc[:, :, 1:2]) / (z * z)
+
+        if full_chain:
+            # cov2D chain: TRUE per-pixel conic cotangent (the reference
+            # stores half the off-diagonal then doubles it in
+            # computeCov2DCUDA — net factor 1) contracted with the
+            # packed d(conic)/d(mean) Jacobian, ADDED before squaring
+            jc = blk[..., 10 + n_channels:19 + n_channels]   # (T, CH, 9)
+            t1 = dl_dg * g                                 # dL/dpower
+            ca = -0.5 * t1 * dx * dx
+            cb = -t1 * dx * dy
+            cc = -0.5 * t1 * dy * dy
+            gx = gx + (ca * jc[:, :, 0:1] + cb * jc[:, :, 3:4]
+                       + cc * jc[:, :, 6:7])
+            gy = gy + (ca * jc[:, :, 1:2] + cb * jc[:, :, 4:5]
+                       + cc * jc[:, :, 7:8])
+            gz = gz + (ca * jc[:, :, 2:3] + cb * jc[:, :, 5:6]
+                       + cc * jc[:, :, 8:9])
 
         # square per pixel, sum over pixels -> (T, CH, 4)
         h_pair = jnp.stack([
@@ -330,7 +377,8 @@ def resolve_fisher_engine(engine: str = "auto") -> str:
 def fisher_diag_dispatch(engine: str, camera: Camera, means_cam, scales,
                          quats, opacities, colors, grad_value: float = 1e-3,
                          active=None,
-                         settings: RenderSettings = RenderSettings()):
+                         settings: RenderSettings = RenderSettings(),
+                         full_chain: bool = True):
     """fisher_diag via the selected engine ('xla' two-pass scan core, or
     'pallas' early-terminating per-tile kernel — 1.7-2.4x faster at
     pose_eval shapes on v5e, bit-identical up to the T<1e-4 tail)."""
@@ -338,16 +386,17 @@ def fisher_diag_dispatch(engine: str, camera: Camera, means_cam, scales,
         from .pallas_fisher import fisher_diag_pallas
         return fisher_diag_pallas(camera, means_cam, scales, quats,
                                   opacities, colors, grad_value=grad_value,
-                                  active=active, settings=settings)
+                                  active=active, settings=settings,
+                                  full_chain=full_chain)
     return fisher_diag(camera, means_cam, scales, quats, opacities, colors,
                        grad_value=grad_value, active=active,
-                       settings=settings)
+                       settings=settings, full_chain=full_chain)
 
 
 def fisher_diag_batch(camera: Camera, w2cs, means_world, scales, quats,
                       opacities, colors, grad_value: float = 1e-3,
                       active=None, settings: RenderSettings = RenderSettings(),
-                      engine: str = "xla"):
+                      engine: str = "xla", full_chain: bool = True):
     """vmap fisher_diag over a batch of world->camera poses.
 
     Replaces the reference's sequential per-candidate loop
@@ -359,5 +408,6 @@ def fisher_diag_batch(camera: Camera, w2cs, means_world, scales, quats,
         return fisher_diag_dispatch(engine, camera, mc, scales, quats,
                                     opacities, colors,
                                     grad_value=grad_value, active=active,
-                                    settings=settings)
+                                    settings=settings,
+                                    full_chain=full_chain)
     return jax.vmap(one)(w2cs)

@@ -41,13 +41,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 # packed feature layout per slot (matches ops/fisher._pack_params):
 # [mu_x, mu_y, con_a, con_b, con_c, opacity, depth, mc_x, mc_y, mc_z,
-#  csum] — colors enter only as their channel sum (uniform cotangent),
-# packed XLA-side so the kernel is independent of the channel count.
-_NF = 11
+#  csum, jac(9)] — colors enter only as their channel sum (uniform
+# cotangent), packed XLA-side so the kernel is independent of the channel
+# count; jac is the d(conic)/d(mean_cam) cov2D-chain Jacobian (full_chain;
+# zero rows reproduce the round-1 reduced chain).
+_NF = 20
 
 
-def pack_fisher_features(prep, bins, opacities, colors, means_cam):
-    """(T, K, 11) slot features for the kernel (one XLA row gather)."""
+def pack_fisher_features(prep, bins, opacities, colors, means_cam,
+                         conic_jac=None):
+    """(T, K, 20) slot features for the kernel (one XLA row gather)."""
+    if conic_jac is None:
+        jac_flat = jnp.zeros((means_cam.shape[0], 9), means_cam.dtype)
+    else:
+        jac_flat = conic_jac.reshape(-1, 9)
     feat = jnp.concatenate([
         prep.mean2d,                                  # 0:2
         prep.conic,                                   # 2:5
@@ -55,6 +62,7 @@ def pack_fisher_features(prep, bins, opacities, colors, means_cam):
         prep.depth[:, None],                          # 6 (kept for parity)
         means_cam,                                    # 7:10
         jnp.sum(colors, axis=-1, keepdims=True),      # 10 (channel sum)
+        jac_flat,                                     # 11:20
     ], axis=-1)
     packed = feat[bins.table]
     val = bins.slot_valid[..., None].astype(packed.dtype)
@@ -155,6 +163,20 @@ def _fisher_kernel(packed_ref, pix_ref, h_ref, tstart_ref, *,
         gy = dl_dmy * (fy / z)
         gz = -(dl_dmx * fx * mc_x + dl_dmy * fy * mc_y) / (z * z)
 
+        # cov2D-through-mean chain (backward.cu:144-270): per-pixel TRUE
+        # conic cotangent contracted with the packed d(conic)/d(mean)
+        # Jacobian, added before squaring (zero jac rows = reduced chain)
+        t1 = dl_dg * g
+        ca = -0.5 * t1 * dx * dx
+        cb = -t1 * dx * dy
+        cc = -0.5 * t1 * dy * dy
+        gx = gx + (ca * blk[:, 11:12] + cb * blk[:, 14:15]
+                   + cc * blk[:, 17:18])
+        gy = gy + (ca * blk[:, 12:13] + cb * blk[:, 15:16]
+                   + cc * blk[:, 18:19])
+        gz = gz + (ca * blk[:, 13:14] + cb * blk[:, 16:17]
+                   + cc * blk[:, 19:20])
+
         h_chunk = jnp.concatenate([
             jnp.sum(gx * gx, axis=-1, keepdims=True),
             jnp.sum(gy * gy, axis=-1, keepdims=True),
@@ -205,10 +227,11 @@ def pallas_fisher_slots(packed, pix_xy, chunk: int, grad_value: float,
 
 def fisher_diag_pallas(camera, means_cam, scales, quats, opacities, colors,
                        grad_value: float = 1e-3, active=None,
-                       settings=None, interpret: bool = False):
+                       settings=None, interpret: bool = False,
+                       full_chain: bool = True):
     """Drop-in fisher_diag using the Pallas early-terminating kernel."""
     from .binning import tile_bin
-    from .projection import preprocess
+    from .projection import build_cov3d, conic_mean_jac, preprocess
     from .rasterize import RenderSettings, tile_pixel_coords
 
     st = settings or RenderSettings()
@@ -217,7 +240,12 @@ def fisher_diag_pallas(camera, means_cam, scales, quats, opacities, colors,
     bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
                     camera.width, camera.height, st.tile_size,
                     st.max_per_tile)
-    packed = pack_fisher_features(prep, bins, opacities, colors, means_cam)
+    cjac = None
+    if full_chain:
+        cjac = conic_mean_jac(means_cam, build_cov3d(scales, quats), camera,
+                              valid=prep.valid)
+    packed = pack_fisher_features(prep, bins, opacities, colors, means_cam,
+                                  conic_jac=cjac)
     pix_x, pix_y = tile_pixel_coords(bins.n_tiles_x, bins.n_tiles_y,
                                      st.tile_size)
     pix_xy = jnp.stack([pix_x, pix_y], axis=1)

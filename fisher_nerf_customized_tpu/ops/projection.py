@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .camera import Camera
@@ -115,6 +116,61 @@ def project_cov2d_packed(means_cam, cov3d, camera: Camera):
     """project_cov2d with (N, 3)-packed outputs (compat wrapper)."""
     (a, b, c_), (tx, ty, z) = project_cov2d(means_cam, cov3d, camera)
     return jnp.stack([a, b, c_], axis=-1), jnp.stack([tx, ty, z], axis=-1)
+
+
+def conic_mean_jac(means_cam, cov3d, camera: Camera, valid=None):
+    """Per-Gaussian Jacobian d(conic)/d(mean_cam): (N, 3, 3) rows = conic
+    entries (a, b, c), cols = camera-frame mean components.
+
+    This is the cov2D-through-mean chain of the reference backward
+    (backward.cu:144-270 computeCov2DCUDA): the 2D covariance depends on
+    the mean through the projection Jacobian J(t), so per-pixel conic
+    cotangents flow back into the mean gradient.  The reference's
+    half-then-double off-diagonal convention cancels, so this exact
+    Jacobian contracted with the TRUE conic cotangent reproduces
+    cur_dL_dmeans bit-for-bit (modulo fp order).  The fov-clamp quirk is
+    preserved: when |x/z| exceeds 1.3 tan_fov the whole tx path is
+    gradient-stopped (x_grad_mul = 0 AND no dtx/dz term — backward.cu
+    only zeroes, never re-chains the clamped branch).
+
+    cov3d: (N, 6) packed or 6-tuple of SoA columns.  Rows for invalid
+    Gaussians are zeroed (their det may be degenerate)."""
+    if isinstance(cov3d, tuple):
+        cov = jnp.stack(cov3d, axis=-1)
+    else:
+        cov = cov3d
+    fx, fy = camera.fx, camera.fy
+    tan_fovx = camera.width / (2.0 * fx)
+    tan_fovy = camera.height / (2.0 * fy)
+    limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
+
+    def conic_of_mean(m, cv):
+        x, y, z = m[0], m[1], m[2]
+        z = jnp.maximum(z, 1e-6)
+        # unclamped: tx == x exactly (dtx/dx = 1, dtx/dz = 0); clamped:
+        # fully stop-gradded (matches x_grad_mul and the missing z-chain)
+        tx = jnp.where(jnp.abs(x / z) > limx,
+                       jax.lax.stop_gradient(jnp.clip(x / z, -limx, limx)
+                                             * z), x)
+        ty = jnp.where(jnp.abs(y / z) > limy,
+                       jax.lax.stop_gradient(jnp.clip(y / z, -limy, limy)
+                                             * z), y)
+        j00 = fx / z
+        j02 = -fx * tx / (z * z)
+        j11 = fy / z
+        j12 = -fy * ty / (z * z)
+        c0, c1, c2, c3, c4, c5 = (cv[0], cv[1], cv[2], cv[3], cv[4], cv[5])
+        a = j00 * (c0 * j00 + c2 * j02) + j02 * (c2 * j00 + c5 * j02) + 0.3
+        b = j11 * (c1 * j00 + c4 * j02) + j12 * (c2 * j00 + c5 * j02)
+        c_ = j11 * (c3 * j11 + c4 * j12) + j12 * (c4 * j11 + c5 * j12) + 0.3
+        det = a * c_ - b * b
+        det = jnp.where(det > 0, det, 1.0)
+        return jnp.stack([c_ / det, -b / det, a / det])
+
+    jac = jax.vmap(jax.jacfwd(conic_of_mean))(means_cam, cov)   # (N, 3, 3)
+    if valid is not None:
+        jac = jnp.where(valid[:, None, None], jac, 0.0)
+    return jac
 
 
 def preprocess(means_cam, scales, quats, camera: Camera,

@@ -30,7 +30,7 @@ from ..models.slam import MappingConfig, _mapping_loss
 from ..ops.binning import tile_bin
 from ..ops.camera import Camera
 from ..ops.fisher import _pack_params, fisher_core, fisher_diag
-from ..ops.projection import preprocess
+from ..ops.projection import build_cov3d, conic_mean_jac, preprocess
 from ..ops.rasterize import (RenderSettings, _tiles_to_image, blend_packed,
                              pack_blend_features, tile_pixel_coords)
 from ..planning.occupancy import occ_update
@@ -287,7 +287,10 @@ def fisher_diag_gaussian_sharded(mesh: Mesh, camera: Camera,
         prep = preprocess(mc, scales, quats, camera, active=active)
         bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
                         camera.width, camera.height, ts, st.max_per_tile)
-        packed = _pack_params(prep, bins, opacities, colors, mc)
+        cjac = conic_mean_jac(mc, build_cov3d(scales, quats), camera,
+                              valid=prep.valid)
+        packed = _pack_params(prep, bins, opacities, colors, mc,
+                              conic_jac=cjac)
         dev = jax.lax.axis_index("model")
         gidx = bins.table + dev * n_local                   # global indices
         score = jnp.where(bins.slot_valid, -packed[..., 6], -jnp.inf)
@@ -303,7 +306,8 @@ def fisher_diag_gaussian_sharded(mesh: Mesh, camera: Camera,
         py_l = jax.lax.dynamic_slice_in_dim(pix_y, t0, tpd, 0)
 
         h_full = fisher_core(st, camera, merged_l, gidx_l, valid_l,
-                             px_l, py_l, n_local * d_model, grad_value)
+                             px_l, py_l, n_local * d_model, grad_value,
+                             n_channels=colors.shape[-1], full_chain=True)
         h_local = jax.lax.psum_scatter(h_full, "model", scatter_dimension=0,
                                        tiled=True)          # (n_local, 4)
         return h_local, prep.radius, prep.radius > 0

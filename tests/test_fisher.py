@@ -105,9 +105,13 @@ def reference_H(means, scales, quats, opac, colors):
 
 
 def test_fisher_matches_autodiff_reference():
+    """Projection-chain path (full_chain=False) vs a jacrev reference of
+    the same chain; the full chain is validated end-to-end in
+    test_fisher_full_chain.py."""
     means, scales, quats, opac, colors = make_scene()
     got = np.asarray(fisher_diag(CAM, means, scales, quats, opac, colors,
-                                 grad_value=GRAD, settings=ST)["H"])
+                                 grad_value=GRAD, settings=ST,
+                                 full_chain=False)["H"])
     ref = reference_H(means, scales, quats, opac, colors)
     # f32 accumulation-order noise vs the (also-f32) jacrev reference caps
     # agreement around 1e-2 relative on the smallest entries

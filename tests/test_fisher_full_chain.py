@@ -1,14 +1,15 @@
-"""Quantify the Fisher-chain approximation (VERDICT r1 missing #2).
+"""Validate the FULL Fisher gradient chain (VERDICT r1 missing #2).
 
-ops/fisher.py computes the squared backward through the alpha+projection
-chain but omits the cov2D-through-mean term (computeCov2DCUDA's dL_dmean,
-reference cuda_rasterizer/backward.cu:144-270) and the scale/rot rows
-(reference backward.cu:1093-1132 squares the FULL chain).  These tests
+ops/fisher.py (full_chain=True, the default) squares the backward through
+the alpha+projection chain PLUS the cov2D-through-mean term
+(computeCov2DCUDA's dL_dmean, reference cuda_rasterizer/backward.cu:144-270,
+summed before squaring exactly as backward.cu:1104-1107).  These tests
 compute the FULL-chain squared autodiff — jacrev through the real
 differentiable render pipeline, where the conic's dependence on the
-camera-frame mean is included automatically — and assert that candidate
--VIEW RANKING (the only consumer of these scores: pose_eval / path EIG)
-agrees with the reduced chain at Spearman >= 0.99.
+camera-frame mean is included automatically — and assert (a) the analytic
+full-chain kernel matches it numerically, and (b) candidate-VIEW RANKING
+(the only consumer of these scores: pose_eval / path EIG) agrees between
+the reduced (round-1) chain and the full chain at Spearman >= 0.99.
 
 Scene scale note: jacrev of the full render is O(pixels x N x 3) memory,
 so the gate runs at small scenes (24x24, N=16) rather than eccv shapes
@@ -74,6 +75,18 @@ def candidate_poses(k=24, seed=7):
                       rng.uniform(-0.6, 0.6)]
         poses.append(w2c)
     return np.stack(poses)
+
+
+def test_full_chain_kernel_matches_full_autodiff():
+    """The analytic full-chain kernel (default) vs jacrev through the real
+    render: mean rows now include the cov2D-through-mean term, so ALL four
+    diagonal rows must agree."""
+    means, scales, quats, opac, colors = make_scene()
+    got = np.asarray(fisher_diag(CAM, means, scales, quats, opac, colors,
+                                 grad_value=GRAD, settings=ST,
+                                 full_chain=True)["H"])
+    full = np.asarray(full_chain_H(means, scales, quats, opac, colors))
+    np.testing.assert_allclose(got, full, rtol=5e-2, atol=1e-12)
 
 
 def test_full_chain_opacity_row_matches_reduced():
