@@ -382,9 +382,11 @@ def _render_pose(state: GaussianState, w2c, camera: Camera,
                         bg_white=white_bg)
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "settings", "engine"))
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "engine",
+                                             "full_chain"))
 def _fisher_batch(state: GaussianState, w2cs, camera: Camera,
-                  settings: RenderSettings, engine: str = "xla"):
+                  settings: RenderSettings, engine: str = "xla",
+                  full_chain: bool = False):
     params = state.params()
     means_w = params["means3D"]
     scales = jnp.exp(params["log_scales"])
@@ -393,14 +395,32 @@ def _fisher_batch(state: GaussianState, w2cs, camera: Camera,
     return fisher_diag_batch(camera, w2cs, means_w, scales,
                              params["unnorm_rotations"], opac,
                              params["rgb_colors"], active=active,
-                             settings=settings, engine=engine)
+                             settings=settings, engine=engine,
+                             full_chain=full_chain)
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "settings", "engine"))
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "engine",
+                                             "full_chain"))
 def _pose_scores(state: GaussianState, w2cs, h_train_inv, camera: Camera,
-                 settings: RenderSettings, engine: str = "xla"):
-    out = _fisher_batch(state, w2cs, camera, settings, engine)
+                 settings: RenderSettings, engine: str = "xla",
+                 full_chain: bool = False):
+    out = _fisher_batch(state, w2cs, camera, settings, engine, full_chain)
     return jnp.sum(out["H"] * h_train_inv[None], axis=(1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "engine",
+                                             "full_chain"))
+def _pose_point_scores(state: GaussianState, w2cs, n_poses, h_train_inv,
+                       camera: Camera, settings, engine,
+                       full_chain: bool = False):
+    """Per-candidate view score AND the per-point running max of
+    sum(cur_H ⊙ H_train_inv) over the real poses in the (padded) batch —
+    the reference's max_points_score accumulation inside its candidate
+    loop (gaussian.py:1295-1305) in one batched launch."""
+    out = _fisher_batch(state, w2cs, camera, settings, engine, full_chain)
+    pt = jnp.sum(out["H"] * h_train_inv[None], axis=2)          # (P, cap)
+    ok = (jnp.arange(w2cs.shape[0]) < n_poses)[:, None]
+    return jnp.sum(pt, axis=1), jnp.max(jnp.where(ok, pt, -jnp.inf), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("camera",))
@@ -457,6 +477,13 @@ class GaussianSLAM:
             max_depth=float(tpu.max_depth))
         self.fisher_engine = resolve_fisher_engine(
             str(tpu.get("fisher_engine", "auto")))
+        # full cov2D-through-mean chain (reference backward.cu:144-270) vs
+        # the reduced projection chain for EIG scoring: candidate RANKING
+        # agrees at Spearman>=0.99 / identical argmax
+        # (tests/test_fisher_full_chain.py) and the reduced chain is ~35%
+        # faster end-to-end (+58% on the Fisher kernel), so speed is the
+        # default; set tpu.fisher_full_chain=True for exact chain parity.
+        self.fisher_full_chain = bool(tpu.get("fisher_full_chain", False))
         mp = cfg.mapping
         self.mc = MappingConfig(
             num_iters=int(mp.num_iters),
@@ -505,6 +532,7 @@ class GaussianSLAM:
         self.rng = np.random.default_rng(0)
         self.last_losses = None
         self._param_version = 0   # bumped on any Gaussian-param mutation
+        self.selection = 0        # legacy global_planning round counter
 
     # -- helpers ------------------------------------------------------------
     @property
@@ -841,7 +869,8 @@ class GaussianSLAM:
         (gaussian.py:1570)."""
         w2c = jnp.asarray(np.asarray(rel_w2c, np.float32))
         out = _fisher_batch(self.state, w2c[None], self.camera,
-                            self.fisher_settings, self.fisher_engine)
+                            self.fisher_settings, self.fisher_engine,
+                            self.fisher_full_chain)
         h = out["H"][0]
         if not return_points:
             h = h.reshape(-1)
@@ -906,7 +935,8 @@ class GaussianSLAM:
             if pad:
                 chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
             out = _fisher_batch(self.state, jnp.asarray(chunk), self.camera,
-                                self.fisher_settings, self.fisher_engine)
+                                self.fisher_settings, self.fisher_engine,
+                                self.fisher_full_chain)
             h = out["H"][: len(w2cs[i:i + ck])] if pad else out["H"]
             h_train = h_train + jnp.sum(h, axis=0)
         return h_train
@@ -932,7 +962,7 @@ class GaussianSLAM:
                                     (ck - n_real, 1, 1))])
             s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
                              self.camera, self.fisher_settings,
-                             self.fisher_engine)
+                             self.fisher_engine, self.fisher_full_chain)
             chunks.append((s, n_real))
 
         def resolve():
@@ -1036,6 +1066,145 @@ class GaussianSLAM:
         np.add.at(occ[1], (gz[occ_band], gx[occ_band]), 1.0)
         np.add.at(occ[2], (gz[~occ_band], gx[~occ_band]), 0.01)
         return occ
+
+    @property
+    def cam_height(self) -> float:
+        """Camera height of the first tracked frame (world y of c2w)."""
+        if self.poses_w2c:
+            return float(np.linalg.inv(self.poses_w2c[0])[1, 3])
+        return 1.25
+
+    def uncertainty_scores(self):
+        """Per-point uncertainty Σ 1/(H_train + 0.1) over the Fisher rows
+        (reference gaussian.py:1196-1198 scorePoints)."""
+        h_train = self.compute_H_train()
+        return np.asarray(jnp.sum(1.0 / (h_train + 0.1), axis=1))
+
+    def global_planning(self, is_navigable, agent_pose=None, frontier=None,
+                        find_path=None):
+        """Legacy in-SLAM planning event (reference gaussian.py:1176-1336).
+
+        Candidate ring centers come from the frontier (when given, during
+        the first two rounds — the reference's `self.selection < 2` gate)
+        or from DBSCAN-clustered high-uncertainty Gaussians (eps=0.1,
+        min_samples=5 over the top-20% of Σ1/(H_train+0.1) inside the
+        camera height band; the cluster whose best point is most uncertain
+        wins, gaussian.py:1226-1276).  Candidates are filtered by
+        `is_navigable` and EIG-scored in chunked batched launches that
+        also accumulate the per-point max score used for the
+        explore.prune_invisible low-H culling (gaussian.py:1318-1326).
+        Returns (scores, navigable_c2ws) or (None, None).
+
+        The planner-first pipeline (AstarPlanner.global_planning) is the
+        primary path; this method keeps the reference's in-SLAM surface
+        for TrajReader-style drivers, with the sequential per-candidate
+        Hessian loop replaced by batched vmapped launches."""
+        from ..planning.candidates import generate_candidates
+        ex = self.cfg.explore
+        k = int(ex.sample_view_num)
+        rng = self.rng
+        h_train = self.compute_H_train()
+        h_train_inv = 1.0 / (h_train + 0.1)
+        score_points = np.asarray(jnp.sum(h_train_inv, axis=1))
+        pts = self.gaussian_points
+        cam_h = self.cam_height
+        selected_points_index = None
+
+        use_frontier = (frontier is not None and len(frontier) > 0
+                        and self.selection < 2)
+        if use_frontier:
+            f = np.asarray(frontier, np.float32).reshape(-1, 2)
+            centers_xz = f[rng.integers(0, len(f), k)]
+        else:
+            band = ((pts[:, 1] >= cam_h - float(ex.height_range))
+                    & (pts[:, 1] <= cam_h + float(ex.height_range)))
+            if not band.any():
+                self.selection += 1
+                return None, None
+            sel_xyz = pts[band]
+            sel_scores = score_points[: self.n_active][band]
+            idx_range = np.where(band)[0]
+            thresh = np.quantile(sel_scores, 0.8)
+            over = sel_scores > thresh
+            centers_xz = None
+            if over.sum() > 0:
+                from ..utils.clustering import dbscan
+                labels = dbscan(sel_xyz[over], eps=0.1, min_samples=5)
+                over_scores = sel_scores[over]
+                best_label, best = -1, -np.inf
+                for lab in np.unique(labels):
+                    if lab < 0:
+                        continue
+                    s = over_scores[labels == lab].max()
+                    if s > best:
+                        best_label, best = int(lab), s
+                if self.eval_dir:
+                    seg = np.full((len(score_points),), -1, np.int64)
+                    seg[idx_range[over]] = labels
+                    np.savez(os.path.join(
+                        self.eval_dir,
+                        f"global_planning_iter{self.frame_idx}.npz"),
+                        segmentated_labels=seg[idx_range],
+                        max_label=best_label,
+                        points_index_range=idx_range)
+                if best_label >= 0:
+                    in_cluster = labels == best_label
+                    selected_points_index = idx_range[over][in_cluster]
+                    cluster_pts = sel_xyz[over][in_cluster]
+                    centers_xz = cluster_pts[
+                        rng.integers(0, len(cluster_pts), k)][:, [0, 2]]
+            if centers_xz is None:
+                centers_xz = sel_xyz[np.argmax(sel_scores)][None, [0, 2]]
+
+        # ring sampling with the reference's selection-grown radius
+        radius = min(float(ex.sample_range) * (self.selection + 1), 5.0)
+        c2ws = generate_candidates(centers_xz, k, radius,
+                                   float(ex.min_range), cam_h, rng)
+
+        agent_y = (float(np.asarray(agent_pose)[1, 3])
+                   if agent_pose is not None else cam_h)
+        nav = []
+        for i, c2w in enumerate(c2ws):
+            p = c2w[:3, 3].copy()
+            p[1] = agent_y
+            if not bool(is_navigable(p)):
+                continue
+            if find_path is not None:
+                try:
+                    find_path(p)
+                except Exception:
+                    continue
+            nav.append(i)
+        self.selection += 1
+        if not nav:
+            return None, None
+        nav_c2ws = c2ws[np.asarray(nav)]
+        w2cs = np.linalg.inv(nav_c2ws)
+
+        ck = self.pose_chunk
+        handles = []
+        for i in range(0, len(w2cs), ck):
+            chunk = w2cs[i:i + ck]
+            n_real = len(chunk)
+            if n_real < ck:
+                chunk = np.concatenate([chunk, np.tile(
+                    np.eye(4, dtype=np.float32), (ck - n_real, 1, 1))])
+            vs, pm = _pose_point_scores(
+                self.state, jnp.asarray(chunk), n_real, h_train_inv,
+                self.camera, self.fisher_settings, self.fisher_engine,
+                self.fisher_full_chain)
+            handles.append((vs, pm, n_real))
+        pulled = jax.device_get([(v, p) for v, p, _ in handles])
+        scores = np.concatenate(
+            [v[:n] for (v, _), (_, _, n) in zip(pulled, handles)])
+        max_points = np.max(np.stack([p for _, p in pulled]), axis=0)
+
+        if bool(ex.prune_invisible) and selected_points_index is not None:
+            sel_max = max_points[selected_points_index]
+            low = sel_max < score_points[selected_points_index] * 2.0
+            if low.any():
+                self.delete_gaussians_by_index(selected_points_index[low])
+        return jnp.asarray(scores), jnp.asarray(nav_c2ws)
 
     def delete_gaussians_by_index(self, gaussian_index):
         """(reference gaussian.py:1377 delete_gaussians_by_index)"""

@@ -41,20 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 # packed feature layout per slot (matches ops/fisher._pack_params):
 # [mu_x, mu_y, con_a, con_b, con_c, opacity, depth, mc_x, mc_y, mc_z,
-#  csum, jac(9)] — colors enter only as their channel sum (uniform
+#  csum, jac(9)?] — colors enter only as their channel sum (uniform
 # cotangent), packed XLA-side so the kernel is independent of the channel
-# count; jac is the d(conic)/d(mean_cam) cov2D-chain Jacobian (full_chain;
-# zero rows reproduce the round-1 reduced chain).
-_NF = 20
+# count; jac is the d(conic)/d(mean_cam) cov2D-chain Jacobian, appended
+# ONLY in full_chain mode so the reduced chain keeps the 11-float slot
+# bandwidth (the kernel is VMEM-traffic-bound).
+_NF = 11
+_NF_FULL = 20
 
 
 def pack_fisher_features(prep, bins, opacities, colors, means_cam,
                          conic_jac=None):
-    """(T, K, 20) slot features for the kernel (one XLA row gather)."""
-    if conic_jac is None:
-        jac_flat = jnp.zeros((means_cam.shape[0], 9), means_cam.dtype)
-    else:
-        jac_flat = conic_jac.reshape(-1, 9)
+    """(T, K, 11|20) slot features for the kernel (one XLA row gather)."""
     feat = jnp.concatenate([
         prep.mean2d,                                  # 0:2
         prep.conic,                                   # 2:5
@@ -62,8 +60,9 @@ def pack_fisher_features(prep, bins, opacities, colors, means_cam,
         prep.depth[:, None],                          # 6 (kept for parity)
         means_cam,                                    # 7:10
         jnp.sum(colors, axis=-1, keepdims=True),      # 10 (channel sum)
-        jac_flat,                                     # 11:20
     ], axis=-1)
+    if conic_jac is not None:
+        feat = jnp.concatenate([feat, conic_jac.reshape(-1, 9)], axis=-1)
     packed = feat[bins.table]
     val = bins.slot_valid[..., None].astype(packed.dtype)
     # invalid slots: zero opacity so alpha = 0 everywhere
@@ -90,7 +89,7 @@ def _chunk_alpha(blk, pix_x, pix_y):
 
 def _fisher_kernel(packed_ref, pix_ref, h_ref, tstart_ref, *,
                    k_total: int, chunk: int, grad_value: float,
-                   fx: float, fy: float):
+                   fx: float, fy: float, full_chain: bool):
     p = pix_ref.shape[-1]
     pix_x = pix_ref[0, 0, :]
     pix_y = pix_ref[0, 1, :]
@@ -163,19 +162,20 @@ def _fisher_kernel(packed_ref, pix_ref, h_ref, tstart_ref, *,
         gy = dl_dmy * (fy / z)
         gz = -(dl_dmx * fx * mc_x + dl_dmy * fy * mc_y) / (z * z)
 
-        # cov2D-through-mean chain (backward.cu:144-270): per-pixel TRUE
-        # conic cotangent contracted with the packed d(conic)/d(mean)
-        # Jacobian, added before squaring (zero jac rows = reduced chain)
-        t1 = dl_dg * g
-        ca = -0.5 * t1 * dx * dx
-        cb = -t1 * dx * dy
-        cc = -0.5 * t1 * dy * dy
-        gx = gx + (ca * blk[:, 11:12] + cb * blk[:, 14:15]
-                   + cc * blk[:, 17:18])
-        gy = gy + (ca * blk[:, 12:13] + cb * blk[:, 15:16]
-                   + cc * blk[:, 18:19])
-        gz = gz + (ca * blk[:, 13:14] + cb * blk[:, 16:17]
-                   + cc * blk[:, 19:20])
+        if full_chain:
+            # cov2D-through-mean chain (backward.cu:144-270): per-pixel
+            # TRUE conic cotangent contracted with the packed
+            # d(conic)/d(mean) Jacobian, added before squaring
+            t1 = dl_dg * g
+            ca = -0.5 * t1 * dx * dx
+            cb = -t1 * dx * dy
+            cc = -0.5 * t1 * dy * dy
+            gx = gx + (ca * blk[:, 11:12] + cb * blk[:, 14:15]
+                       + cc * blk[:, 17:18])
+            gy = gy + (ca * blk[:, 12:13] + cb * blk[:, 15:16]
+                       + cc * blk[:, 18:19])
+            gz = gz + (ca * blk[:, 13:14] + cb * blk[:, 16:17]
+                       + cc * blk[:, 19:20])
 
         h_chunk = jnp.concatenate([
             jnp.sum(gx * gx, axis=-1, keepdims=True),
@@ -200,18 +200,20 @@ def _fisher_kernel(packed_ref, pix_ref, h_ref, tstart_ref, *,
                                              "fy", "interpret"))
 def pallas_fisher_slots(packed, pix_xy, chunk: int, grad_value: float,
                         fx: float, fy: float, interpret: bool = False):
-    """packed: (T, K, 11); pix_xy: (T, 2, P).  Returns per-slot Hessian
-    rows (T, K, 4) aligned with the binning table."""
-    n_tiles, k, _f = packed.shape
+    """packed: (T, K, 11|20); pix_xy: (T, 2, P).  Returns per-slot Hessian
+    rows (T, K, 4) aligned with the binning table.  A 20-wide packing
+    (trailing conic Jacobian) selects the full-chain kernel variant."""
+    n_tiles, k, nf = packed.shape
     p = pix_xy.shape[-1]
     n_chunks = k // chunk
     kernel = functools.partial(_fisher_kernel, k_total=k, chunk=chunk,
-                               grad_value=grad_value, fx=fx, fy=fy)
+                               grad_value=grad_value, fx=fx, fy=fy,
+                               full_chain=nf >= _NF_FULL)
     h = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, k, _NF), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, k, nf), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

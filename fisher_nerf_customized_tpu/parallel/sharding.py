@@ -37,8 +37,13 @@ from ..planning.occupancy import occ_update
 
 
 def pose_eval_sharded(mesh: Mesh, state: GaussianState, w2cs, h_train_inv,
-                      camera: Camera, settings: RenderSettings):
-    """EIG scores for (B, 4, 4) candidate w2cs, B sharded over 'data'."""
+                      camera: Camera, settings: RenderSettings,
+                      full_chain: bool = True):
+    """EIG scores for (B, 4, 4) candidate w2cs, B sharded over 'data'.
+
+    full_chain selects the cov2D-through-mean Fisher chain (exact
+    backward.cu parity) vs the reduced projection chain the engine uses
+    for EIG ranking (see GaussianSLAM.fisher_full_chain)."""
     params = state.params()
     means_w = params["means3D"]
     scales = jnp.exp(params["log_scales"])
@@ -51,7 +56,8 @@ def pose_eval_sharded(mesh: Mesh, state: GaussianState, w2cs, h_train_inv,
         def one(w2c):
             mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
             out = fisher_diag(camera, mc, scales, quats, opac, colors,
-                              active=active, settings=settings)
+                              active=active, settings=settings,
+                              full_chain=full_chain)
             return jnp.sum(out["H"] * h_inv)
         return jax.lax.map(one, w2c_shard)
 
@@ -257,7 +263,8 @@ def render_gaussian_sharded(mesh: Mesh, camera: Camera,
 
 def fisher_diag_gaussian_sharded(mesh: Mesh, camera: Camera,
                                  settings: RenderSettings = RenderSettings(),
-                                 grad_value: float = 1e-3):
+                                 grad_value: float = 1e-3,
+                                 full_chain: bool = True):
     """Gaussian-axis sharded Fisher diagonal: the compute_Hessian analog
     for maps sharded over 'model' (SURVEY.md §2.9 (3): "psum the ...
     Hessian accumulations over ICI").
@@ -287,8 +294,8 @@ def fisher_diag_gaussian_sharded(mesh: Mesh, camera: Camera,
         prep = preprocess(mc, scales, quats, camera, active=active)
         bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
                         camera.width, camera.height, ts, st.max_per_tile)
-        cjac = conic_mean_jac(mc, build_cov3d(scales, quats), camera,
-                              valid=prep.valid)
+        cjac = (conic_mean_jac(mc, build_cov3d(scales, quats), camera,
+                               valid=prep.valid) if full_chain else None)
         packed = _pack_params(prep, bins, opacities, colors, mc,
                               conic_jac=cjac)
         dev = jax.lax.axis_index("model")
@@ -307,7 +314,8 @@ def fisher_diag_gaussian_sharded(mesh: Mesh, camera: Camera,
 
         h_full = fisher_core(st, camera, merged_l, gidx_l, valid_l,
                              px_l, py_l, n_local * d_model, grad_value,
-                             n_channels=colors.shape[-1], full_chain=True)
+                             n_channels=colors.shape[-1],
+                             full_chain=full_chain)
         h_local = jax.lax.psum_scatter(h_full, "model", scatter_dimension=0,
                                        tiled=True)          # (n_local, 4)
         return h_local, prep.radius, prep.radius > 0

@@ -52,15 +52,15 @@ def test_pose_eval_sharded_matches_single(tmp_path):
     w2cs[:, 0, 3] = rng.uniform(-0.2, 0.2, 8)
     h_inv = jnp.ones((slam.state.capacity, 4))
 
-    sharded = np.asarray(pose_eval_sharded(
-        mesh, slam.state, jnp.asarray(w2cs), h_inv, slam.camera,
-        slam.settings))
-
     from fisher_nerf_customized_tpu.models.slam import _fisher_batch
-    ref = _fisher_batch(slam.state, jnp.asarray(w2cs), slam.camera,
-                        slam.settings)
-    ref_scores = np.asarray(jnp.sum(ref["H"] * h_inv[None], axis=(1, 2)))
-    np.testing.assert_allclose(sharded, ref_scores, rtol=1e-5)
+    for full_chain in (False, True):
+        sharded = np.asarray(pose_eval_sharded(
+            mesh, slam.state, jnp.asarray(w2cs), h_inv, slam.camera,
+            slam.settings, full_chain=full_chain))
+        ref = _fisher_batch(slam.state, jnp.asarray(w2cs), slam.camera,
+                            slam.settings, full_chain=full_chain)
+        ref_scores = np.asarray(jnp.sum(ref["H"] * h_inv[None], axis=(1, 2)))
+        np.testing.assert_allclose(sharded, ref_scores, rtol=1e-5)
 
 
 def test_mapping_step_sharded_reduces_loss(tmp_path):

@@ -264,3 +264,57 @@ def test_adaptive_max_per_tile_bump(tmp_path):
         slam.track_rgbd(col, dep, gt_w2c=w)
     assert slam.settings.max_per_tile > 16
     assert slam.settings.max_per_tile <= 64   # respects the limit
+
+
+def test_legacy_global_planning_dbscan(tmp_path):
+    """Legacy in-SLAM global_planning (gaussian.py:1176-1336): DBSCAN
+    uncertainty branch returns navigable EIG-scored candidates, the
+    frontier branch honors the selection<2 gate, and prune_invisible
+    culling only ever removes cluster members."""
+    cfg = small_cfg(tmp_path)
+    cfg.explore.sample_view_num = 8
+    cfg.explore.prune_invisible = True
+    slam = GaussianSLAM(cfg, eval_dir=str(tmp_path))
+    sim = make_sim()
+    run_short_episode(slam, sim, n_steps=6)
+    n_before = slam.n_active
+
+    # frontier branch (selection == 0 < 2)
+    frontier = np.array([[1.0, 1.0], [-1.0, 0.5]], np.float32)
+    scores, c2ws = slam.global_planning(lambda p: True, frontier=frontier)
+    assert scores is not None and len(scores) == len(c2ws) == 8
+    assert np.all(np.isfinite(np.asarray(scores)))
+    assert slam.selection == 1
+
+    # uncertainty branch (no frontier): DBSCAN targeting + culling path
+    scores2, c2ws2 = slam.global_planning(lambda p: True)
+    assert scores2 is not None and len(scores2) >= 1
+    assert np.asarray(c2ws2).shape[1:] == (4, 4)
+    # culling may remove low-H cluster members but never grows the state
+    assert slam.n_active <= n_before
+    assert slam.selection == 2
+
+    # nothing navigable -> (None, None)
+    s3, c3 = slam.global_planning(lambda p: False)
+    assert s3 is None and c3 is None
+
+
+def test_uncertainty_scores_and_dbscan_unit(tmp_path):
+    from fisher_nerf_customized_tpu.utils.clustering import dbscan
+    # two well-separated blobs + isolated noise point
+    rng = np.random.default_rng(0)
+    a = rng.normal([0, 0, 0], 0.02, (20, 3))
+    b = rng.normal([1, 0, 0], 0.02, (20, 3))
+    noise = np.array([[5.0, 5.0, 5.0]])
+    labels = dbscan(np.concatenate([a, b, noise]), eps=0.1, min_samples=5)
+    assert labels[-1] == -1
+    assert len(set(labels[:20])) == 1 and len(set(labels[20:40])) == 1
+    assert labels[0] != labels[20]
+
+    cfg = small_cfg(tmp_path)
+    slam = GaussianSLAM(cfg)
+    sim = make_sim()
+    run_short_episode(slam, sim, n_steps=4)
+    u = slam.uncertainty_scores()
+    assert u.shape[0] == slam.state.capacity
+    assert np.all(u[: slam.n_active] > 0)
