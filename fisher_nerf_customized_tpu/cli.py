@@ -96,12 +96,37 @@ def make_sim(args, cfg, scene_id: str):
                         start_xz=(0.0, 1.8), seed=seed)
     sim = FakeSim(scene, cam, forward_step=float(cfg.forward_step_size),
                   turn_angle=float(cfg.turn_angle), seed=args.seed,
-                  dynamic_object=obj)
+                  dynamic_object=obj,
+                  object_dynamic=getattr(args, "dynamic_scene", False))
     return sim, scene
+
+
+def _pin_platform():
+    """Honor FNC_PLATFORM=cpu|tpu (+ optional FNC_HOST_DEVICES=N virtual
+    CPU devices) before any JAX backend initializes.
+
+    Uses jax.config rather than JAX_PLATFORMS: the container's
+    sitecustomize force-registers the axon TPU plugin, and with the env
+    var set the plugin is still probed during backend discovery — which
+    blocks indefinitely when the TPU tunnel is unreachable.  The config
+    route skips the probe entirely (same reason tests/conftest.py pins
+    this way)."""
+    plat = os.environ.get("FNC_PLATFORM")
+    if not plat:
+        return
+    n = os.environ.get("FNC_HOST_DEVICES")
+    if n and "xla_force_host_platform_device_count" not in \
+            os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={int(n)}").strip()
+    import jax
+    jax.config.update("jax_platforms", plat)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _pin_platform()
     cfg = load_config(args)
     # multi-host process group (no-op on single host; reads
     # JAX_COORDINATOR_ADDRESS / SLURM env — parallel/distributed.py)
@@ -145,6 +170,7 @@ def main(argv=None):
 def main_navigation(argv=None):
     """Frontier-only pipeline (reference main_navigation.py)."""
     args = build_parser().parse_args(argv)
+    _pin_platform()
     cfg = load_config(args)
     from .utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()

@@ -269,7 +269,8 @@ class FakeSim:
                  forward_step: float = 0.065, turn_angle: float = 10.0,
                  cam_height: float = 1.25, seed: int = 0,
                  dynamic_object: SimObject | None = None,
-                 device_obs: bool = True):
+                 device_obs: bool = True,
+                 object_dynamic: bool = False):
         self.scene = scene
         self.camera = camera
         self.forward_step = float(forward_step)
@@ -277,6 +278,13 @@ class FakeSim:
         self.cam_height = float(cam_height)
         self._boxes = scene.boxes()
         self.dynamic_object = dynamic_object
+        # object_dynamic: the driver moves the object between steps
+        # (--dynamic_scene), so a prefetched raycast would show a stale
+        # object position.  A static object (--object_scene alone) keeps
+        # the prefetch path: its raycast is dispatched BEFORE the step's
+        # mapping work, so the in-order device stream finishes it first
+        # and the step's pull doesn't wait behind the mapping events.
+        self.object_dynamic = bool(object_dynamic)
         # device_obs: rgb/depth stay JAX device arrays (all hot consumers —
         # SLAM, occupancy, point-cloud subsample — are jitted; a habitat
         # deployment pays ONE host->device upload, while pulling here just
@@ -346,7 +354,7 @@ class FakeSim:
         episode driver calls this before its heavy device dispatches, so
         the observation is computed concurrently and `step` only pays the
         pull.  No sim state is mutated until `step` resolves it."""
-        if self.dynamic_object is not None:
+        if self.dynamic_object is not None and self.object_dynamic:
             return            # object state may still change this frame
         next_c2w, collided = self._next_pose(int(action_id))
         boxes, obj_idx = self._boxes_now()
@@ -354,13 +362,21 @@ class FakeSim:
             jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
             jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
             jnp.asarray(next_c2w), self.camera)
+        if not self.device_obs:
+            # host-observation mode pulls in step(): enqueue the D2H right
+            # behind the raycast, ahead of the step's mapping dispatches,
+            # so the pull reads landed data instead of draining the stream
+            for a in out:
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
         self._prefetched = (int(action_id), next_c2w, collided, out, obj_idx)
 
     def step(self, action_id: int):
         pf = getattr(self, "_prefetched", None)
         self._prefetched = None
         if (pf is not None and pf[0] == int(action_id)
-                and self.dynamic_object is None):
+                and not (self.dynamic_object is not None
+                         and self.object_dynamic)):
             _a, next_c2w, collided, out, obj_idx = pf
             self.c2w = next_c2w
             self.collided_last = collided
@@ -370,6 +386,10 @@ class FakeSim:
             rgb, z, best = jax.device_get(out)
             obs = dict(rgb=rgb.astype(np.float32),
                        depth=z.astype(np.float32), c2w=self.c2w.copy())
+            if self.dynamic_object is not None:
+                sem = np.where(best == obj_idx,
+                               self.dynamic_object.semantic_id, 0)
+                obs["semantic"] = sem.astype(np.int32)
             return obs
         next_c2w, collided = self._next_pose(int(action_id))
         self.c2w = next_c2w

@@ -88,30 +88,38 @@ def _object_mapping_phase(state, kf_colors, kf_depths, kf_w2cs, kf_masks,
                      settings.max_per_tile)
         return b.table, b.slot_valid, b.counts, b.overflow
     tables, svalids, counts_all, overflows = jax.lax.map(bin_frame, kf_w2cs)
+    bin_overflow = jnp.sum(overflows)
 
     def bins_at(i):
         return TileBins(table=tables[i], slot_valid=svalids[i],
                         counts=counts_all[i], overflow=overflows[i],
                         n_tiles_x=ntx, n_tiles_y=nty)
 
-    def loss_fn(p, w2c, color, depth, mask, i):
-        return _masked_mapping_loss(p, state.n_active, w2c, color, depth,
-                                    mask, camera, settings, mc,
-                                    bins=bins_at(i))
+    def loss_fn(p, w2cs_i, colors_i, depths_i, masks_i, idx_i):
+        # frames_per_iter minibatch, same as the scene _mapping_phase:
+        # mean loss of F frames per Adam step in num_iters/F launches
+        def one(w2c, color, depth, mask, i):
+            loss, _aux = _masked_mapping_loss(
+                p, state.n_active, w2c, color, depth, mask, camera,
+                settings, mc, bins=bins_at(i))
+            return loss
+        return jnp.mean(jax.vmap(one)(w2cs_i, colors_i, depths_i,
+                                      masks_i, idx_i))
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(loss_fn)
 
     def body(carry, it):
         params, opt = carry
-        i = frame_choices[it]
-        (loss, _aux), grads = grad_fn(params, kf_w2cs[i], kf_colors[i],
-                                      kf_depths[i], kf_masks[i], i)
+        i = frame_choices[it]                     # (F,) frame indices
+        loss, grads = grad_fn(params, kf_w2cs[i], kf_colors[i],
+                              kf_depths[i], kf_masks[i], i)
         params, opt = adam_step(opt, params, grads, lrs, eps=1e-15)
         return (params, opt), loss
 
+    n_steps = max(mc.num_iters // mc.frames_per_iter, 1)
     (params, _opt), losses = jax.lax.scan(body, (params, opt),
-                                          jnp.arange(mc.num_iters))
-    return state.replace_params(params), losses
+                                          jnp.arange(n_steps))
+    return state.replace_params(params), losses, bin_overflow
 
 
 @functools.partial(jax.jit, static_argnames=("camera",))
@@ -250,6 +258,22 @@ class GaussianObjectSLAM(GaussianSLAM):
     def __init__(self, cfg, eval_dir: str | None = None,
                  start_frame_idx: int = 0):
         super().__init__(cfg, eval_dir=eval_dir)
+        # the object state holds ONE object's splats, not the scene's:
+        # re-seat it at a small capacity (grown on demand) so the 120
+        # Adam iters every map_obj_every steps don't preprocess/optimize
+        # the scene-sized (131k for eccv) slot array.  8k slots cover a
+        # full-frame mask at downsample 4 with room to grow.
+        from .gaussian_state import empty_state
+        self.state = empty_state(int(cfg.tpu.get("object_capacity", 8192)))
+        # object renders cover a small screen region with shallow per-tile
+        # depth; the blend costs T*K*P whether slots are valid or not, so
+        # the scene's K (256) makes a ~500-splat object event cost as much
+        # as a 19k-Gaussian scene event.  K=64 cuts it ~4x; the overflow
+        # guard below doubles it (one bucketed recompile) if a close-up
+        # view ever truncates.
+        k_obj = int(cfg.tpu.get("object_max_per_tile", 64))
+        self.settings = self.settings._replace(
+            max_per_tile=k_obj, chunk=min(64, k_obj))
         self.start_frame_idx = int(start_frame_idx)
         self.map_obj_every = int(cfg.map_obj_every)
         self.keyframe_obj_every = int(cfg.keyframe_obj_every)
@@ -370,13 +394,20 @@ class GaussianObjectSLAM(GaussianSLAM):
             win_w.append(win_w[-1]); win_m.append(win_m[-1])
         win_c, win_d = win_c[:b_max], win_d[:b_max]
         win_w, win_m = win_w[:b_max], win_m[:b_max]
-        choices = self.rng.integers(0, min(b, b_max), size=self.mc.num_iters)
-        self.state, losses = _object_mapping_phase(
+        n_steps = max(self.mc.num_iters // self.mc.frames_per_iter, 1)
+        choices = self.rng.integers(
+            0, min(b, b_max),
+            size=(n_steps, self.mc.frames_per_iter))
+        # deferred overflow guard from the PREVIOUS event (pulling the
+        # counter immediately would drain the stream behind scene mapping)
+        self._flush_pending_bump()
+        self.state, losses, bin_overflow = _object_mapping_phase(
             self.state, jnp.stack(win_c), jnp.stack(win_d),
             jnp.asarray(np.stack(win_w)), jnp.stack(win_m),
             jnp.asarray(choices, jnp.int32),
             self.camera, self.settings, self.mc)
         self.last_losses = losses     # device handle; pulled lazily
+        self._pending_bump = (bin_overflow, b_max)
 
         # object-aware pruning: drop out-of-mask active Gaussians
         # (reference slam_external.py:345-408; done once per mapping event

@@ -467,6 +467,8 @@ class GaussianSLAM:
                                        max_per_tile=int(tpu.max_per_tile),
                                        chunk=min(64, int(tpu.max_per_tile)),
                                        diff_backend=diff_backend,
+                                       fwd_backend=str(
+                                           tpu.get("blend_forward", "xla")),
                                        max_depth=float(tpu.max_depth))
         # Fisher/EIG renders use bigger tiles: binning buffers scale with
         # the tile count, and the pose batch is vmapped over them
@@ -547,6 +549,17 @@ class GaussianSLAM:
         # tunneled TPUs these dominated the planning events)
         self._state = s
         self._state_epoch = getattr(self, "_state_epoch", 0) + 1
+        # enqueue the D2H of the active-count scalar NOW, right behind the
+        # mutation on the in-order stream: the next `int(n_active)` (e.g.
+        # the object branch's _ensure_capacity while scene mapping is
+        # queued) then reads an already-landed host value instead of
+        # paying a stream-drain round trip
+        na = getattr(s, "n_active", None)
+        if hasattr(na, "copy_to_host_async"):
+            try:
+                na.copy_to_host_async()
+            except Exception:
+                pass
 
     @property
     def n_active(self) -> int:

@@ -21,33 +21,54 @@ def _gaussian_window_np(window_size: int = 11, sigma: float = 1.5):
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs ** 2) / (2 * sigma ** 2))
     g = (g / g.sum()).astype(np.float32)
-    return np.outer(g, g)
+    return g
 
 
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
-    return jnp.asarray(_gaussian_window_np(window_size, sigma))
+def _filter_sep(img, g1d):
+    """Depthwise separable Gaussian filter with SAME padding; img (H, W,
+    C).  The 11x11 window is outer(g, g), so two 11-tap 1D passes replace
+    the 121-tap 2D conv — 3x faster through forward AND grad on the chip
+    (the mapping loss runs this every Adam iteration).
 
-
-def _filter2d(img, window):
-    """Depthwise 2D filter with SAME padding; img (H, W, C)."""
+    Precision HIGHEST is load-bearing: TPU convs default to bf16 inputs,
+    and the SSIM variance `E[x^2] - mu^2` cancellation under bf16 yields
+    variances as negative as -0.008 — past the c2=9e-4 stabilizer — so
+    the SSIM denominator flips sign and per-view SSIM lands anywhere in
+    [-4, +11] (observed).  f32 accumulation keeps the error ~1e-7."""
     c = img.shape[-1]
-    kernel = jnp.tile(window[:, :, None, None], (1, 1, 1, c))  # (kh, kw, 1, C)
-    x = img[None]  # NHWC
-    out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    return out[0]
+    kh = jnp.tile(g1d[:, None, None, None], (1, 1, 1, c))
+    kw = jnp.tile(g1d[None, :, None, None], (1, 1, 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = img[None].astype(jnp.float32)  # NHWC
+    x = jax.lax.conv_general_dilated(
+        x, kh, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+    x = jax.lax.conv_general_dilated(
+        x, kw, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+    return x[0]
 
 
 def calc_ssim(img1, img2, window_size: int = 11):
-    """Mean SSIM over the image; img (H, W, C) in [0, 1]."""
-    window = _gaussian_window(window_size)
-    mu1 = _filter2d(img1, window)
-    mu2 = _filter2d(img2, window)
+    """Mean SSIM over the image; img (H, W, C) in [0, 1].
+
+    All five filtered moments ride ONE stacked 5C-channel separable pass
+    (fewer conv launches for XLA to schedule; identical math up to f32
+    summation order vs the reference's per-moment 2D convs)."""
+    g = jnp.asarray(_gaussian_window_np(window_size))
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+    stack = jnp.concatenate([img1, img2, img1 * img1, img2 * img2,
+                             img1 * img2], axis=-1)
+    f = _filter_sep(stack, g)
+    c = img1.shape[-1]
+    mu1, mu2, m11, m22, m12 = [f[..., i * c:(i + 1) * c] for i in range(5)]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _filter2d(img1 * img1, window) - mu1_sq
-    sigma2_sq = _filter2d(img2 * img2, window) - mu2_sq
-    sigma12 = _filter2d(img1 * img2, window) - mu1_mu2
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu1_mu2
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
