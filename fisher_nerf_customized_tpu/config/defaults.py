@@ -240,9 +240,13 @@ def get_cfg_defaults() -> ConfigNode:
                                    # real TPU, xla on the CPU test backend)
         blend_backward="auto",     # auto | pallas | xla: backward engine
                                    # for the mapping/tracking blend VJP
+        blend_forward="xla",       # pallas | xla: forward blend engine
+                                   # inside the custom-VJP path (pallas =
+                                   # in-kernel early termination; only
+                                   # active when blend_backward resolves
+                                   # to pallas)
         hutchinson_probes=8,
         mesh_axes=dict(data=1, model=1),
-        use_pallas=False,          # Pallas blend kernel fast path
         near=0.01,
         far=100.0,
         max_depth=15.0,            # median-depth fallback (forward.cu:300-393)

@@ -171,6 +171,30 @@ class SimObject:
         hi = self.pos + np.array([half[0], self.size[1], half[2]])
         return tuple(lo), tuple(hi)
 
+    def sample_surface_points(self, n: int, rng=None) -> np.ndarray:
+        """Uniform points on the object box's faces (GT cloud for
+        evaluate_3d_object_reconstruction; reference tester:1212-1289)."""
+        rng = rng or np.random.default_rng(0)
+        lo, hi = self.aabb()
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        ext = hi - lo
+        # face areas: two each normal to x, y, z
+        areas = np.array([ext[1] * ext[2], ext[1] * ext[2],
+                          ext[0] * ext[2], ext[0] * ext[2],
+                          ext[0] * ext[1], ext[0] * ext[1]])
+        face = rng.choice(6, size=n, p=areas / areas.sum())
+        u, v = rng.uniform(size=(2, n))
+        pts = np.empty((n, 3), np.float32)
+        axis = face // 2            # 0=x, 1=y, 2=z
+        side = face % 2             # 0=lo face, 1=hi face
+        for a in range(3):
+            b, c = [i for i in range(3) if i != a]
+            m = axis == a
+            pts[m, a] = np.where(side[m] == 1, hi[a], lo[a])
+            pts[m, b] = lo[b] + u[m] * ext[b]
+            pts[m, c] = lo[c] + v[m] * ext[c]
+        return pts
+
     def _try_move(self, delta) -> bool:
         nxt = self.pos + delta
         if self.scene.is_navigable((nxt[0], 0.0, nxt[2])):

@@ -15,7 +15,8 @@ list in VMEM; a `lax.while_loop` walks K in CH-sized chunks, carrying
 max_pixel(T) < 1e-4.
 
 Outputs bit-match the XLA blend path (ops/rasterize._blend_tiles) up to
-f32 associativity; `use_pallas` in RenderSettings-level config selects it.
+f32 associativity; `tpu.blend_forward: pallas` selects it as the forward
+of the custom-VJP blend (ops/rasterize._vjp_forward).
 """
 from __future__ import annotations
 

@@ -43,6 +43,11 @@ class RenderSettings(NamedTuple):
     # (ops/pallas_blend_bwd.py) — the reference's hand-written backward.cu
     # equivalent.  Forward math is identical either way.
     diff_backend: str = "xla"
+    # forward blend engine INSIDE the custom-VJP path (only honored when
+    # diff_backend == "pallas", where the VJP shields it from JAX AD):
+    # "pallas" runs ops/pallas_blend with in-kernel early termination —
+    # the forward counterpart of the CUDA renderCUDA `done` latch.
+    fwd_backend: str = "xla"
 
 
 def pack_blend_features(prep, opacities, colors):
@@ -260,11 +265,26 @@ def blend_packed_pallas_bwd(st: RenderSettings, packed, slot_valid,
         gradient; in the XLA path its comparisons also yield zero);
       * contributions past the T<1e-4 early-termination point are
         dropped (renderCUDA's `done` latch drops them too)."""
+    return _vjp_forward(st, packed, slot_valid, pix_x, pix_y)
+
+
+def _vjp_forward(st, packed, slot_valid, pix_x, pix_y):
+    if st.fwd_backend == "pallas":
+        from .pallas_blend import pallas_blend
+        val = slot_valid[..., None].astype(packed.dtype)
+        packed8 = jnp.concatenate(
+            [packed[..., :7], val, packed[..., 7:]], axis=-1)
+        pix_xy = jnp.stack([pix_x, pix_y], axis=1)        # (T, 2, P)
+        color, t_final, med = pallas_blend(
+            packed8, pix_xy, st.tile_size, st.max_per_tile,
+            chunk=st.chunk, max_depth=st.max_depth,
+            interpret=jax.default_backend() != "tpu")
+        return t_final, color, med
     return blend_packed(st, packed, slot_valid, pix_x, pix_y)
 
 
 def _bppb_fwd(st, packed, slot_valid, pix_x, pix_y):
-    out = blend_packed(st, packed, slot_valid, pix_x, pix_y)
+    out = _vjp_forward(st, packed, slot_valid, pix_x, pix_y)
     return out, (packed, slot_valid, pix_x, pix_y)
 
 
@@ -277,7 +297,8 @@ def _bppb_bwd(st, res, cotangents):
     packed_k = packed.at[..., 5:6].multiply(val)
     pix_xy = jnp.stack([pix_x, pix_y], axis=1)                # (T, 2, P)
     slots = pallas_blend_bwd_slots(packed_k, pix_xy, g_col,
-                                   g_t[:, None, :], st.chunk)
+                                   g_t[:, None, :], st.chunk,
+                                   interpret=jax.default_backend() != "tpu")
     cch = packed.shape[-1] - 7
     zeros_dep = jnp.zeros(slots.shape[:-1] + (1,), slots.dtype)
     d_packed = jnp.concatenate([

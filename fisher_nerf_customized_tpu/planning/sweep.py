@@ -122,6 +122,12 @@ class SweepSearch:
             jnp.asarray(free_space_np.astype(bool)),
             jnp.asarray(tier, jnp.float32),
             jnp.asarray(self.start, jnp.int32))
+        # enqueue the D2H copies right behind the sweep on the in-order
+        # stream: by the time plan() materializes, the data has landed
+        # instead of the pull waiting behind later-dispatched device work
+        for a in (self._cost_dev, self._parent_dev):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
         self.cost = None
         self.parent = None
 

@@ -23,15 +23,10 @@ def make_obj_sim(seed=0, dynamic=False):
 
 
 def gt_object_points(obj, n=2000):
-    lo, hi = obj.aabb()
-    box = BoxScene(room_lo=(-9e9,) * 3, room_hi=(9e9,) * 3,
-                   obstacles=[(lo, hi)])
-    pts = box.sample_surface_points(n * 8)
-    # keep only obstacle-face points (drop the giant shell faces)
-    inside = ((pts[:, 0] >= lo[0] - 1e-3) & (pts[:, 0] <= hi[0] + 1e-3)
-              & (pts[:, 2] >= lo[2] - 1e-3) & (pts[:, 2] <= hi[2] + 1e-3)
-              & (pts[:, 1] <= hi[1] + 1e-3) & (pts[:, 1] >= lo[1] - 1e-3))
-    return pts[inside][:n]
+    pts = obj.sample_surface_points(n)
+    lo, hi = np.asarray(obj.aabb()[0]), np.asarray(obj.aabb()[1])
+    assert (pts >= lo - 1e-4).all() and (pts <= hi + 1e-4).all()
+    return pts
 
 
 def test_object_episode_fisher(tmp_path):

@@ -62,3 +62,44 @@ def test_pallas_blend_early_termination_correct():
     got = render_pallas(CAM, *args, settings=ST, interpret=True)
     np.testing.assert_allclose(np.asarray(got["color"]),
                                np.asarray(ref["color"]), atol=5e-4)
+
+
+def test_vjp_path_pallas_forward_matches_xla():
+    """fwd_backend=pallas inside the custom-VJP blend: forward outputs
+    match the XLA forward, and the (Pallas) backward still runs."""
+    import jax
+    from fisher_nerf_customized_tpu.ops.rasterize import render_prebinned
+    from fisher_nerf_customized_tpu.ops.binning import tile_bin
+    from fisher_nerf_customized_tpu.ops.projection import preprocess
+
+    means, scales, quats, opac, colors = make_scene(n=120, seed=3)
+    st_x = ST._replace(diff_backend="pallas", fwd_backend="xla")
+    st_p = ST._replace(diff_backend="pallas", fwd_backend="pallas")
+    prep = preprocess(means, scales, quats, CAM)
+    bins = tile_bin(prep.mean2d, prep.radius, prep.depth, prep.valid,
+                    CAM.width, CAM.height, ST.tile_size, ST.max_per_tile)
+    ref = render_prebinned(CAM, means, scales, quats, opac, colors, bins,
+                           settings=st_x)
+    got = render_prebinned(CAM, means, scales, quats, opac, colors, bins,
+                           settings=st_p)
+    np.testing.assert_allclose(np.asarray(got["color"]),
+                               np.asarray(ref["color"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), atol=1e-2)
+
+    def loss(op):
+        out = render_prebinned(CAM, means, scales, quats, op, colors, bins,
+                               settings=st_p)
+        return jnp.sum(out["color"] ** 2)
+
+    g = jax.grad(loss)(opac)
+    assert np.isfinite(np.asarray(g)).all()
+
+    def loss_x(op):
+        out = render_prebinned(CAM, means, scales, quats, op, colors, bins,
+                               settings=st_x)
+        return jnp.sum(out["color"] ** 2)
+
+    gx = jax.grad(loss_x)(opac)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gx),
+                               atol=5e-3, rtol=1e-3)
