@@ -131,7 +131,31 @@ def bench_pose_eval(mapper, n_poses: int = 256, reps: int = 3):
     return best / n_poses * 1e3
 
 
+def _probe_backend(timeout_s: float = 120.0) -> bool:
+    """Fail fast if the device backend is unreachable (a wedged TPU
+    tunnel makes jax backend init block FOREVER, which would hang the
+    whole bench run; probe in a subprocess so the hang is killable)."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jnp.ones(4).sum().block_until_ready()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        print(json.dumps(dict(
+            metric="active_mapping_steps_per_sec", value=0.0,
+            unit="steps/s", vs_baseline=0.0,
+            error="device backend unreachable (TPU tunnel down); "
+                  "bench aborted instead of hanging")))
+        raise SystemExit(2)
     from fisher_nerf_customized_tpu.utils.jax_cache import (
         enable_persistent_cache)
     enable_persistent_cache()

@@ -102,26 +102,8 @@ def make_sim(args, cfg, scene_id: str):
 
 
 def _pin_platform():
-    """Honor FNC_PLATFORM=cpu|tpu (+ optional FNC_HOST_DEVICES=N virtual
-    CPU devices) before any JAX backend initializes.
-
-    Uses jax.config rather than JAX_PLATFORMS: the container's
-    sitecustomize force-registers the axon TPU plugin, and with the env
-    var set the plugin is still probed during backend discovery — which
-    blocks indefinitely when the TPU tunnel is unreachable.  The config
-    route skips the probe entirely (same reason tests/conftest.py pins
-    this way)."""
-    plat = os.environ.get("FNC_PLATFORM")
-    if not plat:
-        return
-    n = os.environ.get("FNC_HOST_DEVICES")
-    if n and "xla_force_host_platform_device_count" not in \
-            os.environ.get("XLA_FLAGS", ""):
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={int(n)}").strip()
-    import jax
-    jax.config.update("jax_platforms", plat)
+    from .utils.platform import pin_platform_from_env
+    pin_platform_from_env()
 
 
 def main(argv=None):

@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fisher_nerf_customized_tpu.utils.platform import pin_platform_from_env
+
+pin_platform_from_env()
+
 from fisher_nerf_customized_tpu.engine.eval import (
     accuracy_comp_ratio_from_pcl, coverage_percentage)
 from fisher_nerf_customized_tpu.utils.pointcloud import read_ply

@@ -144,11 +144,13 @@ def test_eval_cli_scripts(tmp_path):
     gt_path = str(tmp_path / "gt.ply")
     write_ply(gt_path, pts)
 
+    # FNC_PLATFORM (not JAX_PLATFORMS): the env-var route still probes
+    # the force-registered TPU plugin and hangs if the tunnel is down
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "evaluation.py"),
          str(run_dir), "--gt_ply", gt_path],
-        capture_output=True, text=True, cwd=REPO,
-        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+        env=dict(os.environ, FNC_PLATFORM="cpu"))
     assert out.returncode == 0, out.stderr
     res = json.loads(out.stdout[out.stdout.index("{"):])
     assert res["coverage_pct"] == 100.0
@@ -157,8 +159,8 @@ def test_eval_cli_scripts(tmp_path):
         [sys.executable,
          os.path.join(REPO, "scripts", "eval_3d_reconstruction.py"),
          str(run_dir / "pointcloud" / "global_pcl_100.ply"), gt_path],
-        capture_output=True, text=True, cwd=REPO,
-        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+        env=dict(os.environ, FNC_PLATFORM="cpu"))
     assert out2.returncode == 0, out2.stderr
     res2 = json.loads(out2.stdout[out2.stdout.index("{"):])
     assert res2["completeness_ratio"] == 100.0
