@@ -44,12 +44,18 @@ def pack_tile_params(prep, bins, opacities, colors):
     return jnp.concatenate([mu, con, opa, dep, val, col], axis=-1)
 
 
-def _blend_kernel(packed_ref, pix_ref, out_color_ref, out_t_ref,
+def _blend_kernel(packed_ref, pix_ref, nval_ref, out_color_ref, out_t_ref,
                   out_med_ref, *, k_total: int, chunk: int, n_ch: int,
                   max_depth: float):
     p = pix_ref.shape[-1]                # pixels per tile
     pix_x = pix_ref[0, 0, :]
     pix_y = pix_ref[0, 1, :]
+    # valid slots are contiguous at the front of each tile row (binning
+    # top_k puts -inf-scored slots last), so the per-tile valid count
+    # bounds the walk EXACTLY — an empty tile does zero chunks instead
+    # of walking all K (it never saturates, so the T<1e-4 latch alone
+    # never fires there)
+    k_lim = ((nval_ref[0, 0] + chunk - 1) // chunk) * chunk
 
     # triangular matrices turn the within-chunk transmittance cumprod into
     # one MXU matmul in log space: cum_excl = exp(strict_lower @ log(1-a))
@@ -106,8 +112,9 @@ def _blend_kernel(packed_ref, pix_ref, out_color_ref, out_t_ref,
 
     def cond(state):
         k0, t_carry, *_ = state
-        # EARLY TERMINATION: stop when every pixel is saturated
-        return (k0 < k_total) & (jnp.max(t_carry) >= 1e-4)
+        # EARLY TERMINATION: stop at the last valid slot or when every
+        # pixel is saturated, whichever comes first
+        return (k0 < k_lim) & (jnp.max(t_carry) >= 1e-4)
 
     t0 = jnp.ones((p,), jnp.float32)
     c0 = jnp.zeros((p, n_ch), jnp.float32)
@@ -124,14 +131,17 @@ def _blend_kernel(packed_ref, pix_ref, out_color_ref, out_t_ref,
 @functools.partial(jax.jit,
                    static_argnames=("tile_size", "max_per_tile", "chunk",
                                     "max_depth", "interpret"))
-def pallas_blend(packed, pix_xy, tile_size: int, max_per_tile: int,
+def pallas_blend(packed, pix_xy, nvalid, tile_size: int, max_per_tile: int,
                  chunk: int = 64, max_depth: float = 15.0,
                  interpret: bool = False):
-    """packed: (T, K, F); pix_xy: (T, 2, P) pixel centers per tile.
+    """packed: (T, K, F); pix_xy: (T, 2, P) pixel centers per tile;
+    nvalid: (T,) int32 count of valid front slots per tile (bounds the
+    chunk walk — empty/sparse tiles skip dead slots entirely).
     Returns (color (T, P, C), final_t (T, P), med_depth (T, P))."""
     n_tiles, k, f = packed.shape
     p = pix_xy.shape[-1]
     cch = f - _BASE_F
+    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1)
     kernel = functools.partial(_blend_kernel, k_total=k, chunk=chunk,
                                n_ch=cch, max_depth=max_depth)
     color, t_final, med = pl.pallas_call(
@@ -142,6 +152,8 @@ def pallas_blend(packed, pix_xy, tile_size: int, max_per_tile: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, p, cch), lambda i: (i, 0, 0),
@@ -157,7 +169,7 @@ def pallas_blend(packed, pix_xy, tile_size: int, max_per_tile: int,
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
         ],
         interpret=interpret,
-    )(packed, pix_xy)
+    )(packed, pix_xy, nval)
     return color, t_final[:, 0, :], med[:, 0, :]
 
 
@@ -187,7 +199,8 @@ def render_pallas(camera, means_cam, scales, quats, opacities, colors,
     pix_y = ((tile_ids // ntx) * ts)[:, None].astype(jnp.float32) + ly[None]
     pix_xy = jnp.stack([pix_x, pix_y], axis=1)          # (T, 2, P)
 
-    color, t_final, med = pallas_blend(packed, pix_xy, st.tile_size,
+    nvalid = jnp.minimum(bins.counts, st.max_per_tile)
+    color, t_final, med = pallas_blend(packed, pix_xy, nvalid, st.tile_size,
                                        st.max_per_tile, chunk=st.chunk,
                                        max_depth=st.max_depth,
                                        interpret=interpret)

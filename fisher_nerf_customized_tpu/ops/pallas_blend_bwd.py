@@ -60,12 +60,15 @@ def _chunk_alpha(blk, pix_x, pix_y):
     return alpha, g, dx, dy
 
 
-def _blend_bwd_kernel(packed_ref, pix_ref, gcol_ref, gt_ref, out_ref,
-                      tstart_ref, *, k_total: int, chunk: int, n_ch: int):
+def _blend_bwd_kernel(packed_ref, pix_ref, gcol_ref, gt_ref, nval_ref,
+                      out_ref, tstart_ref, *, k_total: int, chunk: int,
+                      n_ch: int):
     p = pix_ref.shape[-1]
     pix_x = pix_ref[0, 0, :]
     pix_y = pix_ref[0, 1, :]
-    n_chunks = k_total // chunk
+    # valid slots are front-contiguous (binning top_k); the per-tile
+    # count bounds BOTH walks — empty tiles do zero chunks in fwd AND bwd
+    n_chunks = (nval_ref[0, 0] + chunk - 1) // chunk
     gcol = gcol_ref[0, :, :]                              # (P, C) cotangent
     g_t = gt_ref[0, 0, :]                                 # (P,) d final_t
 
@@ -158,15 +161,17 @@ def _blend_bwd_kernel(packed_ref, pix_ref, gcol_ref, gt_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def pallas_blend_bwd_slots(packed, pix_xy, gcol_tiles, gt_tiles, chunk: int,
-                           interpret: bool = False):
+def pallas_blend_bwd_slots(packed, pix_xy, gcol_tiles, gt_tiles, nvalid,
+                           chunk: int, interpret: bool = False):
     """packed: (T, K, 7+C); pix_xy: (T, 2, P); gcol_tiles: (T, P, C)
     cotangent w.r.t. the blended color; gt_tiles: (T, 1, P) cotangent
-    w.r.t. final transmittance.  Returns per-slot grads (T, K, 6+C)."""
+    w.r.t. final transmittance; nvalid: (T,) valid front-slot counts.
+    Returns per-slot grads (T, K, 6+C)."""
     n_tiles, k, f = packed.shape
     p = pix_xy.shape[-1]
     n_ch = f - _BASE
     n_chunks = k // chunk
+    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1)
     kernel = functools.partial(_blend_bwd_kernel, k_total=k, chunk=chunk,
                                n_ch=n_ch)
     out = pl.pallas_call(
@@ -181,11 +186,13 @@ def pallas_blend_bwd_slots(packed, pix_xy, gcol_tiles, gt_tiles, chunk: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, k, 6 + n_ch), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, k, 6 + n_ch), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, n_chunks, p), jnp.float32)],
         interpret=interpret,
-    )(packed, pix_xy, gcol_tiles, gt_tiles)
+    )(packed, pix_xy, gcol_tiles, gt_tiles, nval)
     return out

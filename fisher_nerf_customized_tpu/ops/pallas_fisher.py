@@ -87,13 +87,15 @@ def _chunk_alpha(blk, pix_x, pix_y):
     return alpha, g, dx, dy
 
 
-def _fisher_kernel(packed_ref, pix_ref, h_ref, tstart_ref, *,
+def _fisher_kernel(packed_ref, pix_ref, nval_ref, h_ref, tstart_ref, *,
                    k_total: int, chunk: int, grad_value: float,
                    fx: float, fy: float, full_chain: bool):
     p = pix_ref.shape[-1]
     pix_x = pix_ref[0, 0, :]
     pix_y = pix_ref[0, 1, :]
-    n_chunks = k_total // chunk
+    # valid slots are front-contiguous (binning top_k); the per-tile
+    # count bounds both walks — empty tiles do zero chunks
+    n_chunks = (nval_ref[0, 0] + chunk - 1) // chunk
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -198,14 +200,17 @@ def _fisher_kernel(packed_ref, pix_ref, h_ref, tstart_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("chunk", "grad_value", "fx",
                                              "fy", "interpret"))
-def pallas_fisher_slots(packed, pix_xy, chunk: int, grad_value: float,
-                        fx: float, fy: float, interpret: bool = False):
-    """packed: (T, K, 11|20); pix_xy: (T, 2, P).  Returns per-slot Hessian
-    rows (T, K, 4) aligned with the binning table.  A 20-wide packing
-    (trailing conic Jacobian) selects the full-chain kernel variant."""
+def pallas_fisher_slots(packed, pix_xy, nvalid, chunk: int,
+                        grad_value: float, fx: float, fy: float,
+                        interpret: bool = False):
+    """packed: (T, K, 11|20); pix_xy: (T, 2, P); nvalid: (T,) valid
+    front-slot counts.  Returns per-slot Hessian rows (T, K, 4) aligned
+    with the binning table.  A 20-wide packing (trailing conic Jacobian)
+    selects the full-chain kernel variant."""
     n_tiles, k, nf = packed.shape
     p = pix_xy.shape[-1]
     n_chunks = k // chunk
+    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1)
     kernel = functools.partial(_fisher_kernel, k_total=k, chunk=chunk,
                                grad_value=grad_value, fx=fx, fy=fy,
                                full_chain=nf >= _NF_FULL)
@@ -217,13 +222,15 @@ def pallas_fisher_slots(packed, pix_xy, chunk: int, grad_value: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, k, 4), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, n_chunks, p), jnp.float32)],
         interpret=interpret,
-    )(packed, pix_xy)
+    )(packed, pix_xy, nval)
     return h
 
 
@@ -251,7 +258,8 @@ def fisher_diag_pallas(camera, means_cam, scales, quats, opacities, colors,
     pix_x, pix_y = tile_pixel_coords(bins.n_tiles_x, bins.n_tiles_y,
                                      st.tile_size)
     pix_xy = jnp.stack([pix_x, pix_y], axis=1)
-    h_slots = pallas_fisher_slots(packed, pix_xy, st.chunk,
+    nvalid = jnp.minimum(bins.counts, st.max_per_tile)
+    h_slots = pallas_fisher_slots(packed, pix_xy, nvalid, st.chunk,
                                   float(grad_value), float(camera.fx),
                                   float(camera.fy), interpret=interpret)
     h_slots = jnp.where(bins.slot_valid[..., None], h_slots, 0.0)

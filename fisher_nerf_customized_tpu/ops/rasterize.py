@@ -275,8 +275,9 @@ def _vjp_forward(st, packed, slot_valid, pix_x, pix_y):
         packed8 = jnp.concatenate(
             [packed[..., :7], val, packed[..., 7:]], axis=-1)
         pix_xy = jnp.stack([pix_x, pix_y], axis=1)        # (T, 2, P)
+        nvalid = jnp.sum(slot_valid.astype(jnp.int32), axis=1)
         color, t_final, med = pallas_blend(
-            packed8, pix_xy, st.tile_size, st.max_per_tile,
+            packed8, pix_xy, nvalid, st.tile_size, st.max_per_tile,
             chunk=st.chunk, max_depth=st.max_depth,
             interpret=jax.default_backend() != "tpu")
         return t_final, color, med
@@ -296,8 +297,9 @@ def _bppb_bwd(st, res, cotangents):
     val = slot_valid[..., None].astype(packed.dtype)
     packed_k = packed.at[..., 5:6].multiply(val)
     pix_xy = jnp.stack([pix_x, pix_y], axis=1)                # (T, 2, P)
+    nvalid = jnp.sum(slot_valid.astype(jnp.int32), axis=1)
     slots = pallas_blend_bwd_slots(packed_k, pix_xy, g_col,
-                                   g_t[:, None, :], st.chunk,
+                                   g_t[:, None, :], nvalid, st.chunk,
                                    interpret=jax.default_backend() != "tpu")
     cch = packed.shape[-1] - 7
     zeros_dep = jnp.zeros(slots.shape[:-1] + (1,), slots.dtype)

@@ -103,3 +103,27 @@ def test_vjp_path_pallas_forward_matches_xla():
     gx = jax.grad(loss_x)(opac)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gx),
                                atol=5e-3, rtol=1e-3)
+
+
+def test_pallas_blend_nvalid_bound_empty_tiles():
+    """Scene concentrated in one corner: most tiles have ZERO valid
+    slots, so the per-tile nvalid bound must skip them without changing
+    any output (empty tiles never saturate, so only the bound stops
+    their walk)."""
+    rng = np.random.default_rng(5)
+    n = 80
+    means = np.stack([rng.uniform(0.8, 1.2, n), rng.uniform(0.8, 1.2, n),
+                      rng.uniform(1.5, 3.0, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.02, 0.06, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (means, scales, quats, opac, colors))
+    ref = render(CAM, *args, settings=ST)
+    got = render_pallas(CAM, *args, settings=ST, interpret=True)
+    np.testing.assert_allclose(np.asarray(got["color"]),
+                               np.asarray(ref["color"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got["final_t"]),
+                               np.asarray(ref["final_t"]), atol=3e-4)

@@ -222,8 +222,8 @@ def test_pallas_blend_backward_matches_ad(monkeypatch):
     orig = pbb.pallas_blend_bwd_slots
     monkeypatch.setattr(
         pbb, "pallas_blend_bwd_slots",
-        lambda packed, pix_xy, gcol, gt, chunk, interpret=False:
-        orig(packed, pix_xy, gcol, gt, chunk, interpret=True))
+        lambda packed, pix_xy, gcol, gt, nvalid, chunk, interpret=False:
+        orig(packed, pix_xy, gcol, gt, nvalid, chunk, interpret=True))
 
     rng = np.random.default_rng(3)
     n = 800
