@@ -16,6 +16,10 @@ import yaml
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fisher_nerf_customized_tpu.utils.platform import pin_platform_from_env
+
+pin_platform_from_env()
+
 from fisher_nerf_customized_tpu.engine.eval import trapezoid_auc
 
 

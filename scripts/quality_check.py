@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fisher_nerf_customized_tpu.utils.platform import pin_platform_from_env
+
+pin_platform_from_env()
+
 import numpy as np
 
 
