@@ -150,9 +150,9 @@ class ActiveMapper:
         from ..models.object_slam import GaussianObjectSLAM
         from .object_planning import init_object_policy
         w2c = np.linalg.inv(obs["c2w"])
-        # object SLAM consumes host frames (mask plumbing is host-side)
-        obs = dict(obs, rgb=np.asarray(obs["rgb"]),
-                   depth=np.asarray(obs["depth"]))
+        # device-resident rgb/depth pass straight through (the mask is
+        # host-side either way); object SLAM pulls host copies only at
+        # keyframe-selection time, once per mapping event
         if self.obj_slam is None:
             self.obj_slam = GaussianObjectSLAM(self.cfg,
                                                eval_dir=self.eval_dir,

@@ -332,7 +332,7 @@ class GaussianObjectSLAM(GaussianSLAM):
             self.init(color, depth, gt_w2c, obj_mask_2d)
             return
         color, depth = self._prep_inputs(color, depth)
-        mask = (np.ones_like(depth, bool) if obj_mask_2d is None
+        mask = (np.ones(depth.shape, bool) if obj_mask_2d is None
                 else np.asarray(obj_mask_2d, bool).reshape(depth.shape))
         time_idx = self.frame_idx + 1
         w2c = (np.asarray(gt_w2c, np.float32) if gt_w2c is not None
@@ -375,8 +375,12 @@ class GaussianObjectSLAM(GaussianSLAM):
 
         num_kf = int(self.cfg.mapping_window_size) - 2
         from .keyframes import select_keyframes_overlap
+        # keyframe overlap selection is host-side; with device-resident
+        # observations this is the ONE host pull per mapping event (the
+        # per-step rgb/depth pulls are gone — driver passes device obs)
+        depth_h = np.asarray(depth)
         selected = select_keyframes_overlap(
-            np.where(mask, depth, 0.0)[None], w2c, self.intrinsics,
+            np.where(mask, depth_h, 0.0)[None], w2c, self.intrinsics,
             self.keyframes, num_kf, rng=self.rng)
         if len(self.keyframes) > 0:
             selected.append(len(self.keyframes) - 1)
