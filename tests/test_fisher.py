@@ -180,3 +180,39 @@ def test_pallas_fisher_matches_xla_interpret():
                                rtol=5e-3, atol=1e-8)
     np.testing.assert_array_equal(np.asarray(out["visible"]),
                                   np.asarray(ref["visible"]))
+
+
+def test_pallas_fisher_vmapped_over_poses_interpret():
+    """pose_eval vmaps fisher_diag_pallas over candidate w2cs on TPU;
+    the pallas_call batching rule must thread the SMEM nvalid operand
+    correctly (interpret mode here)."""
+    import jax
+    import numpy as np
+    from fisher_nerf_customized_tpu.ops.pallas_fisher import (
+        fisher_diag_pallas)
+
+    rng = np.random.default_rng(9)
+    n = 500
+    cam = Camera(fx=32.0, fy=32.0, cx=32.0, cy=32.0, width=64, height=64)
+    st = RenderSettings(tile_size=8, max_per_tile=64, chunk=16)
+    means = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1, 2, n),
+                      rng.uniform(0.5, 6, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.02, 0.1, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    w2cs = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    w2cs[1, 0, 3] = 0.4
+    w2cs[2, 2, 3] = -0.5
+
+    def one(w2c):
+        mc = jnp.asarray(means) @ w2c[:3, :3].T + w2c[:3, 3]
+        return fisher_diag_pallas(cam, mc, jnp.asarray(scales),
+                                  jnp.asarray(quats), jnp.asarray(opac),
+                                  jnp.asarray(colors), settings=st,
+                                  interpret=True)["H"]
+
+    batched = jax.vmap(one)(jnp.asarray(w2cs))
+    seq = jnp.stack([one(jnp.asarray(w)) for w in w2cs])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(seq),
+                               rtol=1e-5, atol=1e-8)
