@@ -50,6 +50,7 @@ class ActiveMapper:
         self.object_scene = bool(object_scene)
         self.dynamic_scene = bool(dynamic_scene)
         self.known_env_points = known_env_points   # GT cloud -> novelty mask
+        self._known_env_dev = None                 # device copy, cached
         self.obj_slam = None
         self.object_tracking = False
         self.criterion = str(cfg.criterion)
@@ -136,9 +137,13 @@ class ActiveMapper:
         if self.known_env_points is not None:
             import jax.numpy as jnp
             from ..ops.knn import novelty_mask_from_pcd_nn
+            if self._known_env_dev is None:
+                # upload the GT cloud ONCE (400k x 3 would otherwise ride
+                # host->device every step)
+                self._known_env_dev = jnp.asarray(self.known_env_points)
             inv_k = np.linalg.inv(self.sim.intrinsics).astype(np.float32)
             mask, _n = novelty_mask_from_pcd_nn(
-                jnp.asarray(self.known_env_points),
+                self._known_env_dev,
                 jnp.asarray(obs["depth"]), jnp.asarray(inv_k),
                 jnp.asarray(obs["c2w"]))
             return np.asarray(mask)

@@ -313,8 +313,9 @@ class FakeSim:
         # SLAM, occupancy, point-cloud subsample — are jitted; a habitat
         # deployment pays ONE host->device upload, while pulling here just
         # to re-upload pays a tunnel round trip both ways).  Object/semantic
-        # episodes fall back to host observations (mask logic is host-side).
-        self.device_obs = bool(device_obs) and dynamic_object is None
+        # episodes keep device rgb/depth too: only the small int32 semantic
+        # mask is pulled per step (its .sum() gates host control flow).
+        self.device_obs = bool(device_obs)
         self.rng = np.random.default_rng(seed)
         self.c2w = np.eye(4, dtype=np.float32)
         self.collided_last = False
@@ -349,11 +350,17 @@ class FakeSim:
     def get_observations(self):
         boxes, obj_idx = self._boxes_now()
         if self.device_obs:
-            rgb, depth, _hit = _raycast_device(
+            rgb, depth, hit = _raycast_device(
                 jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
                 jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
                 jnp.asarray(np.asarray(self.c2w, np.float32)), self.camera)
-            return dict(rgb=rgb, depth=depth, c2w=self.c2w.copy())
+            obs = dict(rgb=rgb, depth=depth, c2w=self.c2w.copy())
+            if self.dynamic_object is not None:
+                sem = jnp.where(hit == obj_idx,
+                                self.dynamic_object.semantic_id,
+                                0).astype(jnp.int32)
+                obs["semantic"] = np.asarray(sem)
+            return obs
         rgb, depth, hit = _raycast(boxes, self.c2w, self.camera)
         obs = dict(rgb=rgb, depth=depth, c2w=self.c2w.copy())
         if self.dynamic_object is not None:
@@ -386,6 +393,7 @@ class FakeSim:
             jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
             jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
             jnp.asarray(next_c2w), self.camera)
+        sem_dev = None
         if not self.device_obs:
             # host-observation mode pulls in step(): enqueue the D2H right
             # behind the raycast, ahead of the step's mapping dispatches,
@@ -393,7 +401,17 @@ class FakeSim:
             for a in out:
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
-        self._prefetched = (int(action_id), next_c2w, collided, out, obj_idx)
+        elif self.dynamic_object is not None:
+            # device mode: precompute the semantic mask and enqueue ITS
+            # D2H now — step() then pulls landed data
+            _rgb, _z, best = out
+            sem_dev = jnp.where(best == obj_idx,
+                                self.dynamic_object.semantic_id,
+                                0).astype(jnp.int32)
+            if hasattr(sem_dev, "copy_to_host_async"):
+                sem_dev.copy_to_host_async()
+        self._prefetched = (int(action_id), next_c2w, collided, out, obj_idx,
+                            sem_dev)
 
     def step(self, action_id: int):
         pf = getattr(self, "_prefetched", None)
@@ -401,12 +419,15 @@ class FakeSim:
         if (pf is not None and pf[0] == int(action_id)
                 and not (self.dynamic_object is not None
                          and self.object_dynamic)):
-            _a, next_c2w, collided, out, obj_idx = pf
+            _a, next_c2w, collided, out, obj_idx, sem_dev = pf
             self.c2w = next_c2w
             self.collided_last = collided
             if self.device_obs:
                 rgb, z, _best = out
-                return dict(rgb=rgb, depth=z, c2w=self.c2w.copy())
+                obs = dict(rgb=rgb, depth=z, c2w=self.c2w.copy())
+                if sem_dev is not None:
+                    obs["semantic"] = np.asarray(sem_dev)
+                return obs
             rgb, z, best = jax.device_get(out)
             obs = dict(rgb=rgb.astype(np.float32),
                        depth=z.astype(np.float32), c2w=self.c2w.copy())
