@@ -88,7 +88,10 @@ def make_sim(args, cfg, scene_id: str):
         from .envs.habitat_adapter import HabitatSim
         return HabitatSim(args, cfg, scene_id), None
     from .envs.fake_sim import BoxScene, FakeSim, SimObject
-    seed = abs(hash(scene_id)) % (2 ** 31)
+    # stable across processes (hash() is salted per interpreter, which
+    # would make the procedural scene irreproducible from the scene id)
+    import zlib
+    seed = zlib.crc32(scene_id.encode()) % (2 ** 31)
     scene = BoxScene.default(seed=seed)
     obj = None
     if getattr(args, "object_scene", False):

@@ -516,6 +516,14 @@ class ActiveMapper:
                     m = self._inc_recon.update(new_pts)
                     self.metrics.record(t, **m)
                     self.mlog.log(t, **m, n_gaussians=self.slam.n_active)
+            if (self.obj_slam is not None and t % 25 == 0
+                    and getattr(self.sim, "dynamic_object", None) is not None):
+                # per-episode object reconstruction curve (reference
+                # tester:1212-1289 records object completeness per step;
+                # every 25 matches the scene-metric cadence above)
+                with self.timer.phase("obj_recon_metric"):
+                    gt_obj = self.sim.dynamic_object.sample_surface_points(2000)
+                    self.record_object_metrics(t, gt_obj)
             if self.habvis is not None:
                 with self.timer.phase("habvis"):
                     self.habvis.update_fow_sim(obs["c2w"])
@@ -564,6 +572,15 @@ class ActiveMapper:
             result["recon"] = accuracy_comp_ratio_from_pcl(
                 est, recon_gt_points, 0.05)
             result["auc"] = self.metrics.auc()
+        # final curve dump (reference tester:1233-1289 writes the metric
+        # yaml as it goes; here once at episode end + at checkpoints) —
+        # the golden-curve harness (scripts/compare_curves.py) reads these
+        if self.metrics.steps:
+            self.metrics.dump(os.path.join(self.eval_dir,
+                                           "metrics_curve.yaml"))
+        if self.object_metrics.steps:
+            self.object_metrics.dump(
+                os.path.join(self.eval_dir, "object_metrics_curve.yaml"))
         return result
 
     # -- checkpoint/resume (reference tester:2745-2800 load_3d_gaussian,
