@@ -71,7 +71,9 @@ def lpips_proxy(img1, img2):
 def render_metrics(render, gt_rgb, render_depth=None, gt_depth=None):
     """PSNR / SSIM / lpips_proxy / depth-MAE for one view."""
     render = jnp.clip(jnp.asarray(render), 0.0, 1.0)
-    gt_rgb = jnp.asarray(gt_rgb)
+    # SSIM's <=1 bound only holds for nonnegative inputs; clip the GT too
+    # so a sim handing back out-of-range pixels cannot unbound the metric
+    gt_rgb = jnp.clip(jnp.asarray(gt_rgb), 0.0, 1.0)
     out = dict(psnr=float(calc_psnr(render, gt_rgb)),
                ssim=float(calc_ssim(render, gt_rgb)),
                lpips_proxy=float(lpips_proxy(render, gt_rgb)))
@@ -128,8 +130,22 @@ def eval_navigation(slam, sim, scene, n_poses: int = 2000,
         pulled = jax.device_get([(h["render"], h["depth"]) for h in handles])
         for c2w, (render, depth) in zip(batch, pulled):
             gt_rgb, gt_depth = sim.render_at(c2w)
-            per_pose.append(render_metrics(np.asarray(render), gt_rgb,
-                                           np.asarray(depth), gt_depth))
+            m = render_metrics(np.asarray(render), gt_rgb,
+                               np.asarray(depth), gt_depth)
+            if not -1.0 <= m["ssim"] <= 1.001:
+                # forensics: SSIM outside its mathematical range means a
+                # degenerate input pair — capture it instead of silently
+                # polluting the aggregate (observed once, unreproduced)
+                if out_dir is not None:
+                    np.savez(os.path.join(
+                        out_dir, f"ssim_anomaly_{len(per_pose)}.npz"),
+                        render=np.asarray(render), gt=np.asarray(gt_rgb),
+                        c2w=c2w, ssim=m["ssim"])
+                import logging
+                logging.getLogger(__name__).warning(
+                    "per-pose SSIM %.3f outside [-1, 1]; inputs dumped",
+                    m["ssim"])
+            per_pose.append(m)
     agg = {k: float(np.mean([m[k] for m in per_pose]))
            for k in per_pose[0]}
     agg["n_poses"] = n_poses

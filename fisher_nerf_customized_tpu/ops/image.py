@@ -66,9 +66,20 @@ def calc_ssim(img1, img2, window_size: int = 11):
     c = img1.shape[-1]
     mu1, mu2, m11, m22, m12 = [f[..., i * c:(i + 1) * c] for i in range(5)]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = m11 - mu1_sq
-    sigma2_sq = m22 - mu2_sq
-    sigma12 = m12 - mu1_mu2
+    # Numerical guards, both exact in infinite precision: windowed
+    # variances are nonnegative, and |cov| <= sigma1*sigma2
+    # (Cauchy-Schwarz).  The E[x^2]-mu^2 cancellation under f32 violates
+    # both once mu^2 is large enough (error ~eps*mu^2; at pixel scale
+    # ~190 it exceeds c2=9e-4), which flips the structure term's
+    # denominator / inflates its numerator and unbounds the score
+    # (per-view SSIM ~9-11 observed).  With both guards SSIM <= 1 holds
+    # for any nonnegative inputs at any scale.  stop_gradient on the
+    # Cauchy-Schwarz bound: in exact math the clip never binds, so it
+    # must not contribute a backward term (sqrt'(0) is inf).
+    sigma1_sq = jnp.maximum(m11 - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(m22 - mu2_sq, 0.0)
+    cs_bound = jax.lax.stop_gradient(jnp.sqrt(sigma1_sq * sigma2_sq))
+    sigma12 = jnp.clip(m12 - mu1_mu2, -cs_bound, cs_bound)
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
