@@ -55,7 +55,7 @@ def _blend_kernel(packed_ref, pix_ref, nval_ref, out_color_ref, out_t_ref,
     # bounds the walk EXACTLY — an empty tile does zero chunks instead
     # of walking all K (it never saturates, so the T<1e-4 latch alone
     # never fires there)
-    k_lim = ((nval_ref[0, 0] + chunk - 1) // chunk) * chunk
+    k_lim = ((nval_ref[0, 0, 0] + chunk - 1) // chunk) * chunk
 
     # triangular matrices turn the within-chunk transmittance cumprod into
     # one MXU matmul in log space: cum_excl = exp(strict_lower @ log(1-a))
@@ -141,7 +141,10 @@ def pallas_blend(packed, pix_xy, nvalid, tile_size: int, max_per_tile: int,
     n_tiles, k, f = packed.shape
     p = pix_xy.shape[-1]
     cch = f - _BASE_F
-    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1)
+    # VMEM (T, 1, 1): a (1, 1) SMEM block fails Mosaic's block-shape rule
+    # on hardware (trailing dims must be divisible by (8, 128) or equal to
+    # the full array dims); interpret mode does not check this.
+    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1, 1)
     kernel = functools.partial(_blend_kernel, k_total=k, chunk=chunk,
                                n_ch=cch, max_depth=max_depth)
     color, t_final, med = pl.pallas_call(
@@ -152,8 +155,8 @@ def pallas_blend(packed, pix_xy, nvalid, tile_size: int, max_per_tile: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, p, cch), lambda i: (i, 0, 0),

@@ -68,7 +68,7 @@ def _blend_bwd_kernel(packed_ref, pix_ref, gcol_ref, gt_ref, nval_ref,
     pix_y = pix_ref[0, 1, :]
     # valid slots are front-contiguous (binning top_k); the per-tile
     # count bounds BOTH walks — empty tiles do zero chunks in fwd AND bwd
-    n_chunks = (nval_ref[0, 0] + chunk - 1) // chunk
+    n_chunks = (nval_ref[0, 0, 0] + chunk - 1) // chunk
     gcol = gcol_ref[0, :, :]                              # (P, C) cotangent
     g_t = gt_ref[0, 0, :]                                 # (P,) d final_t
 
@@ -171,7 +171,11 @@ def pallas_blend_bwd_slots(packed, pix_xy, gcol_tiles, gt_tiles, nvalid,
     p = pix_xy.shape[-1]
     n_ch = f - _BASE
     n_chunks = k // chunk
-    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1)
+    # (T, 1, 1) in VMEM: Mosaic requires block trailing dims divisible by
+    # (8, 128) OR equal to the full array dims — a (1, 1) SMEM block is
+    # rejected on hardware (interpret mode accepts it), so the count rides
+    # VMEM with a full-trailing-dims block instead.
+    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1, 1)
     kernel = functools.partial(_blend_bwd_kernel, k_total=k, chunk=chunk,
                                n_ch=n_ch)
     out = pl.pallas_call(
@@ -186,8 +190,8 @@ def pallas_blend_bwd_slots(packed, pix_xy, gcol_tiles, gt_tiles, nvalid,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, k, 6 + n_ch), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -95,7 +95,7 @@ def _fisher_kernel(packed_ref, pix_ref, nval_ref, h_ref, tstart_ref, *,
     pix_y = pix_ref[0, 1, :]
     # valid slots are front-contiguous (binning top_k); the per-tile
     # count bounds both walks — empty tiles do zero chunks
-    n_chunks = (nval_ref[0, 0] + chunk - 1) // chunk
+    n_chunks = (nval_ref[0, 0, 0] + chunk - 1) // chunk
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -210,7 +210,10 @@ def pallas_fisher_slots(packed, pix_xy, nvalid, chunk: int,
     n_tiles, k, nf = packed.shape
     p = pix_xy.shape[-1]
     n_chunks = k // chunk
-    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1)
+    # VMEM (T, 1, 1): a (1, 1) SMEM block fails Mosaic's block-shape rule
+    # on hardware (trailing dims must be divisible by (8, 128) or equal to
+    # the full array dims); interpret mode does not check this.
+    nval = jnp.asarray(nvalid, jnp.int32).reshape(n_tiles, 1, 1)
     kernel = functools.partial(_fisher_kernel, k_total=k, chunk=chunk,
                                grad_value=grad_value, fx=fx, fy=fy,
                                full_chain=nf >= _NF_FULL)
@@ -222,8 +225,8 @@ def pallas_fisher_slots(packed, pix_xy, nvalid, chunk: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),

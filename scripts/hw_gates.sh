@@ -11,10 +11,13 @@ mkdir -p "$OUT"
 echo "== hw gates -> $OUT"
 
 probe() {
+  # no platform pin: the tunnel registers as the experimental 'axon'
+  # platform (devices still print as TPU); pinning 'tpu' fails there.
   timeout 120 python - <<'EOF'
 import jax
-jax.config.update("jax_platforms", "tpu")
-print(jax.devices())
+devs = jax.devices()
+print(devs)
+assert any("tpu" in str(d).lower() for d in devs), devs
 EOF
 }
 probe || { echo "TPU unreachable; aborting"; exit 2; }
