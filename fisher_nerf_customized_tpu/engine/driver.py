@@ -25,7 +25,7 @@ from ..models.slam import GaussianSLAM
 from ..planning import AstarPlanner, LocalizationError, NoFrontierError
 from ..utils.cluster import get_cluster_manager
 from ..utils.logging_utils import MetricsLogger, StepTimer
-from ..utils.pointcloud import GlobalPointCloud
+from ..utils.pointcloud import GlobalPointCloud, backproject_depth
 from .actions import action_planning, rollout_path_poses
 from .eval import (MetricsRecorder, accuracy_comp_ratio_from_pcl,
                    eval_navigation)
@@ -62,6 +62,7 @@ class ActiveMapper:
         self.queue: deque[int] = deque()
         self.rng = np.random.default_rng(seed)
         self.global_pcl = GlobalPointCloud(keep_ratio=0.05, seed=seed)
+        self._obj_pcl_parts: list[np.ndarray] = []
         self.metrics = MetricsRecorder(self.policy_name, "fake_scene")
         self.traj_actions = list(traj_actions) if traj_actions else None
 
@@ -151,10 +152,45 @@ class ActiveMapper:
             return np.asarray(obs["semantic"]) > 0
         return None
 
+    def _accumulate_object_pcl(self, obs, mask):
+        """Masked depth back-projection accumulated in the object's
+        CANONICAL frame (reference tester:508-550
+        store_filtered_obj_pointcloud: world points are mapped through
+        inv(object_pose) before accumulation, so a moving object's
+        observations stay registered)."""
+        obj = getattr(self.sim, "dynamic_object", None)
+        if obj is None:
+            return
+        depth = np.asarray(obs["depth"])
+        d_masked = np.where(mask, depth, 0.0).astype(np.float32)
+        pts_w = backproject_depth(d_masked, self.sim.intrinsics, obs["c2w"])
+        if len(pts_w) == 0:
+            return
+        T_wo = obj.object_pose()
+        pts_obj = (pts_w - T_wo[:3, 3]) @ T_wo[:3, :3]
+        # subsample: the mask covers few pixels, but over a long episode
+        # the accumulation is capped to keep the KD queries bounded
+        if len(pts_obj) > 4096:
+            idx = self.rng.choice(len(pts_obj), 4096, replace=False)
+            pts_obj = pts_obj[idx]
+        self._obj_pcl_parts.append(pts_obj.astype(np.float32))
+        n_total = sum(len(p) for p in self._obj_pcl_parts)
+        if n_total > 400_000:
+            merged = np.concatenate(self._obj_pcl_parts)
+            keep = self.rng.choice(n_total, 200_000, replace=False)
+            self._obj_pcl_parts = [merged[keep]]
+
+    @property
+    def global_obj_pcl(self) -> np.ndarray:
+        if not self._obj_pcl_parts:
+            return np.zeros((0, 3), np.float32)
+        return np.concatenate(self._obj_pcl_parts)
+
     def _object_step(self, obs, mask, t):
         from ..models.object_slam import GaussianObjectSLAM
         from .object_planning import init_object_policy
         w2c = np.linalg.inv(obs["c2w"])
+        self._accumulate_object_pcl(obs, mask)
         # device-resident rgb/depth pass straight through (the mask is
         # host-side either way); object SLAM pulls host copies only at
         # keyframe-selection time, once per mapping event
@@ -177,11 +213,21 @@ class ActiveMapper:
     def record_object_metrics(self, t, gt_object_points,
                               dist_thresh: float = 0.01):
         """Per-step object reconstruction curve + AUC (reference
-        tester:1212-1289 evaluate_3d_object_reconstruction)."""
-        if self.obj_slam is None or self.obj_slam.n_active == 0:
-            return None
-        m = accuracy_comp_ratio_from_pcl(self.obj_slam.gaussian_points,
-                                         gt_object_points, dist_thresh)
+        tester:1212-1289 evaluate_3d_object_reconstruction).
+
+        Compares the accumulated CANONICAL-frame masked-depth cloud (the
+        reference's global_obj_pcd, tester:508-550) against GT object
+        surface points sampled in the object's canonical frame — NOT the
+        object-SLAM gaussian means: the reference's metric is observation
+        coverage of the object, registered through inv(object_pose) so a
+        moving object scores consistently."""
+        est = self.global_obj_pcl
+        if len(est) == 0:
+            # pre-detection fallback: keep the reference's 0-row shape
+            if self.obj_slam is None or self.obj_slam.n_active == 0:
+                return None
+            est = self.obj_slam.gaussian_points
+        m = accuracy_comp_ratio_from_pcl(est, gt_object_points, dist_thresh)
         self.object_metrics.record(t, **m)
         return m
 
@@ -522,7 +568,8 @@ class ActiveMapper:
                 # tester:1212-1289 records object completeness per step;
                 # every 25 matches the scene-metric cadence above)
                 with self.timer.phase("obj_recon_metric"):
-                    gt_obj = self.sim.dynamic_object.sample_surface_points(2000)
+                    gt_obj = self.sim.dynamic_object.sample_surface_points(
+                        2000, frame="object")
                     self.record_object_metrics(t, gt_obj)
             if self.habvis is not None:
                 with self.timer.phase("habvis"):
@@ -598,6 +645,7 @@ class ActiveMapper:
             self.object_metrics.dump(
                 os.path.join(self.eval_dir, "object_metrics_curve.yaml"))
         extra = dict(t=int(t), stuck_count=int(self.stuck_count),
+                     obj_pcl=self.global_obj_pcl,
                      resume_t=int(t + 1 if resume_t is None else resume_t),
                      sim_c2w=(np.zeros((0, 4, 4), np.float32)
                               if sim_c2w is None
@@ -645,6 +693,8 @@ class ActiveMapper:
         if os.path.exists(ep_path):
             ep = np.load(ep_path)
             self.stuck_count = int(ep["stuck_count"])
+            if "obj_pcl" in ep and len(ep["obj_pcl"]):
+                self._obj_pcl_parts = [np.asarray(ep["obj_pcl"], np.float32)]
             self.queue = deque(int(a) for a in ep["queue"])
             if len(ep["last_goal"]):
                 self.last_goal = ep["last_goal"][0]

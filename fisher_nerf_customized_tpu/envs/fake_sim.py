@@ -171,11 +171,26 @@ class SimObject:
         hi = self.pos + np.array([half[0], self.size[1], half[2]])
         return tuple(lo), tuple(hi)
 
-    def sample_surface_points(self, n: int, rng=None) -> np.ndarray:
+    def object_pose(self) -> np.ndarray:
+        """4x4 world-from-object transform.  The box geometry is axis-
+        aligned (yaw only steers the random-walk direction), so the
+        canonical object frame is a pure translation — the analog of the
+        reference's `object_pose` used to accumulate observations in the
+        object frame (tester:508-550 store_filtered_obj_pointcloud)."""
+        T = np.eye(4, dtype=np.float64)
+        T[:3, 3] = self.pos
+        return T
+
+    def sample_surface_points(self, n: int, rng=None,
+                              frame: str = "world") -> np.ndarray:
         """Uniform points on the object box's faces (GT cloud for
-        evaluate_3d_object_reconstruction; reference tester:1212-1289)."""
+        evaluate_3d_object_reconstruction; reference tester:1212-1289).
+        frame='object' returns canonical-frame points (reference compares
+        est/GT in the object's canonical frame, tester:1215-1225)."""
         rng = rng or np.random.default_rng(0)
         lo, hi = self.aabb()
+        if frame == "object":
+            lo, hi = np.asarray(lo) - self.pos, np.asarray(hi) - self.pos
         lo, hi = np.asarray(lo), np.asarray(hi)
         ext = hi - lo
         # face areas: two each normal to x, y, z

@@ -23,8 +23,11 @@ def make_obj_sim(seed=0, dynamic=False):
 
 
 def gt_object_points(obj, n=2000):
-    pts = obj.sample_surface_points(n)
-    lo, hi = np.asarray(obj.aabb()[0]), np.asarray(obj.aabb()[1])
+    # canonical object frame: record_object_metrics compares against the
+    # accumulated inv(object_pose)-registered observation cloud
+    pts = obj.sample_surface_points(n, frame="object")
+    lo = np.asarray(obj.aabb()[0]) - obj.pos
+    hi = np.asarray(obj.aabb()[1]) - obj.pos
     assert (pts >= lo - 1e-4).all() and (pts <= hi + 1e-4).all()
     return pts
 
@@ -87,3 +90,21 @@ def test_known_env_novelty_episode(tmp_path):
     result = mapper.test_navigation(eval_every=0)
     assert result["steps"] >= 6
     assert mapper.obj_slam is not None
+
+
+def test_object_canonical_frame_registration():
+    """A moving object's canonical-frame samples are pose-invariant:
+    world samples re-registered through inv(object_pose) land on the same
+    canonical surface (the property record_object_metrics relies on for
+    dynamic objects; reference tester:508-550)."""
+    _sim, _scene, obj = make_obj_sim(seed=3)
+    canon0 = gt_object_points(obj, 500)
+    world0 = obj.sample_surface_points(500, frame="world")
+    T = obj.object_pose()
+    np.testing.assert_allclose(
+        (world0 - T[:3, 3]) @ T[:3, :3], canon0, atol=1e-5)
+    # move the object; canonical samples must be unchanged as a SET
+    obj.set_translation(obj.pos + np.array([0.7, 0.0, -0.4], np.float32))
+    canon1 = gt_object_points(obj, 500)
+    np.testing.assert_allclose(np.sort(canon0, axis=0),
+                               np.sort(canon1, axis=0), atol=1e-5)
