@@ -568,8 +568,12 @@ class ActiveMapper:
                 # tester:1212-1289 records object completeness per step;
                 # every 25 matches the scene-metric cadence above)
                 with self.timer.phase("obj_recon_metric"):
+                    # 20k samples: at the 1 cm object protocol a 2k cloud
+                    # on a ~1 m^2 box is sampling-limited (~2 cm NN
+                    # spacing inflates acc/fpr); the reference compares
+                    # against the dense GLB model cloud
                     gt_obj = self.sim.dynamic_object.sample_surface_points(
-                        2000, frame="object")
+                        20000, frame="object")
                     self.record_object_metrics(t, gt_obj)
             if self.habvis is not None:
                 with self.timer.phase("habvis"):

@@ -119,7 +119,7 @@ def run_policy(policy: str, steps: int, frames_per_iter: int = 1,
         # of the object path + object reconstruction quality @1cm
         obj = mapper.sim.dynamic_object
         if obj is not None and mapper.obj_slam is not None:
-            gt_obj = obj.sample_surface_points(2000, frame="object")
+            gt_obj = obj.sample_surface_points(20000, frame="object")
             m = mapper.record_object_metrics(result["steps"], gt_obj,
                                              dist_thresh=0.01)
             row["obj_completeness"] = round(m["completeness_ratio"], 2)
