@@ -240,11 +240,16 @@ def get_cfg_defaults() -> ConfigNode:
                                    # real TPU, xla on the CPU test backend)
         blend_backward="auto",     # auto | pallas | xla: backward engine
                                    # for the mapping/tracking blend VJP
-        blend_forward="xla",       # pallas | xla: forward blend engine
+        blend_forward="pallas",    # pallas | xla: forward blend engine
                                    # inside the custom-VJP path (pallas =
                                    # in-kernel early termination; only
                                    # active when blend_backward resolves
-                                   # to pallas)
+                                   # to pallas).  Default flipped to
+                                   # pallas after the r2 hardware A/B:
+                                   # two adjacent 240-step episode pairs
+                                   # 126.3/127.9 s (pallas) vs
+                                   # 131.8/142.7 s (xla), identical
+                                   # quality (AUC 61.35/61.36)
         hutchinson_probes=8,
         mesh_axes=dict(data=1, model=1),
         near=0.01,
