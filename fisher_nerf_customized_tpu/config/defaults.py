@@ -235,6 +235,11 @@ def get_cfg_defaults() -> ConfigNode:
         plan_watermark=2,
         mapping_frames_per_iter=1,  # >1: minibatch mapping (TPU upgrade;
                                     # 1 = reference one-frame-per-iter)
+        fisher_downsample=1,       # EIG renders at (H/s, W/s): candidate
+                                   # ranking is downsample-stable (gated,
+                                   # tests/test_fisher_downsample.py);
+                                   # grad_value compensates so H keeps
+                                   # its full-res magnitude
         fisher_mode="sq_chain",    # sq_chain | hutchinson
         fisher_engine="auto",      # auto | pallas | xla (auto: pallas on
                                    # real TPU, xla on the CPU test backend)

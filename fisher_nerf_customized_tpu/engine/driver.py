@@ -348,14 +348,15 @@ class ActiveMapper:
                 scores = path_eig_scores(
                     slam.state, h_train, jnp.asarray(w2cs),
                     jnp.asarray(valid), jnp.asarray(lengths),
-                    jnp.asarray(final_eigs), slam.camera,
+                    jnp.asarray(final_eigs), slam.fisher_camera,
                     slam.fisher_settings,
                     float(self.cfg.H_reg_lambda),
                     float(self.cfg.path_pose_weight),
                     float(self.cfg.path_point_weight),
                     float(self.cfg.path_end_weight),
                     bool(self.cfg.vol_weighted_H),
-                    float(slam.gs_pts_cnt()), slam.fisher_engine)
+                    float(slam.gs_pts_cnt()), slam.fisher_engine,
+                    slam.fisher_grad_value)
                 best = int(np.argmax(np.asarray(scores)[:n_paths]))
 
         self.last_goal = goals[best]

@@ -41,12 +41,14 @@ def acc_step_indices(n_actions: int, acc_every: int) -> list[int]:
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings",
-                                             "vol_weighted", "engine"))
+                                             "vol_weighted", "engine",
+                                             "grad_value"))
 def path_eig_scores(state: GaussianState, h_train, acc_w2cs, acc_valid,
                     lengths, final_eigs, camera: Camera,
                     settings: RenderSettings, h_reg_lambda,
                     path_pose_weight, path_point_weight, path_end_weight,
-                    vol_weighted: bool, gs_pts_cnt, engine: str = "xla"):
+                    vol_weighted: bool, gs_pts_cnt, engine: str = "xla",
+                    grad_value: float = 1e-3):
     """Scores (P,) for P padded paths.
 
     acc_w2cs: (P, A', 4, 4) world->cam at the ACC steps only (see
@@ -66,7 +68,8 @@ def path_eig_scores(state: GaussianState, h_train, acc_w2cs, acc_valid,
         mc = means_w @ w2c[:3, :3].T + w2c[:3, 3]
         return fisher_diag_dispatch(engine, camera, mc, scales, quats, opac,
                                     colors, active=active,
-                                    settings=settings)["H"]
+                                    settings=settings,
+                                    grad_value=grad_value)["H"]
 
     def step(carry, inp):
         h_paths, totals = carry                # (P,N,4), (P,)

@@ -383,10 +383,10 @@ def _render_pose(state: GaussianState, w2c, camera: Camera,
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "engine",
-                                             "full_chain"))
+                                             "full_chain", "grad_value"))
 def _fisher_batch(state: GaussianState, w2cs, camera: Camera,
                   settings: RenderSettings, engine: str = "xla",
-                  full_chain: bool = False):
+                  full_chain: bool = False, grad_value: float = 1e-3):
     params = state.params()
     means_w = params["means3D"]
     scales = jnp.exp(params["log_scales"])
@@ -396,28 +396,30 @@ def _fisher_batch(state: GaussianState, w2cs, camera: Camera,
                              params["unnorm_rotations"], opac,
                              params["rgb_colors"], active=active,
                              settings=settings, engine=engine,
-                             full_chain=full_chain)
+                             full_chain=full_chain, grad_value=grad_value)
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "engine",
-                                             "full_chain"))
+                                             "full_chain", "grad_value"))
 def _pose_scores(state: GaussianState, w2cs, h_train_inv, camera: Camera,
                  settings: RenderSettings, engine: str = "xla",
-                 full_chain: bool = False):
-    out = _fisher_batch(state, w2cs, camera, settings, engine, full_chain)
+                 full_chain: bool = False, grad_value: float = 1e-3):
+    out = _fisher_batch(state, w2cs, camera, settings, engine, full_chain,
+                        grad_value)
     return jnp.sum(out["H"] * h_train_inv[None], axis=(1, 2))
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "engine",
-                                             "full_chain"))
+                                             "full_chain", "grad_value"))
 def _pose_point_scores(state: GaussianState, w2cs, n_poses, h_train_inv,
                        camera: Camera, settings, engine,
-                       full_chain: bool = False):
+                       full_chain: bool = False, grad_value: float = 1e-3):
     """Per-candidate view score AND the per-point running max of
     sum(cur_H ⊙ H_train_inv) over the real poses in the (padded) batch —
     the reference's max_points_score accumulation inside its candidate
     loop (gaussian.py:1295-1305) in one batched launch."""
-    out = _fisher_batch(state, w2cs, camera, settings, engine, full_chain)
+    out = _fisher_batch(state, w2cs, camera, settings, engine, full_chain,
+                        grad_value)
     pt = jnp.sum(out["H"] * h_train_inv[None], axis=2)          # (P, cap)
     ok = (jnp.arange(w2cs.shape[0]) < n_poses)[:, None]
     return jnp.sum(pt, axis=1), jnp.max(jnp.where(ok, pt, -jnp.inf), axis=0)
@@ -479,6 +481,21 @@ class GaussianSLAM:
             max_depth=float(tpu.max_depth))
         self.fisher_engine = resolve_fisher_engine(
             str(tpu.get("fisher_engine", "auto")))
+        # EIG renders at reduced resolution: candidate RANKING is what
+        # planning consumes, and it is stable under downsampling (gated
+        # by tests/test_fisher_downsample.py Spearman + the hardware
+        # episode A/B).  grad_value scales by the factor so H keeps its
+        # full-res magnitude (H ~ grad_value^2 * n_pixels), preserving
+        # the +0.1 / H_reg_lambda regularizer semantics.
+        fs = max(int(tpu.get("fisher_downsample", 1)), 1)
+        self.fisher_downsample = fs
+        self.fisher_camera = self.camera if fs == 1 else Camera(
+            fx=self.camera.fx / fs, fy=self.camera.fy / fs,
+            cx=self.camera.cx / fs, cy=self.camera.cy / fs,
+            width=self.camera.width // fs, height=self.camera.height // fs,
+            near=self.camera.near, far=self.camera.far,
+            dilation=self.camera.dilation / (fs * fs))
+        self.fisher_grad_value = 1e-3 * fs
         # full cov2D-through-mean chain (reference backward.cu:144-270) vs
         # the reduced projection chain for EIG scoring: candidate RANKING
         # agrees at Spearman>=0.99 / identical argmax
@@ -881,9 +898,9 @@ class GaussianSLAM:
         — and the pose Hessian is the same identity placeholder
         (gaussian.py:1570)."""
         w2c = jnp.asarray(np.asarray(rel_w2c, np.float32))
-        out = _fisher_batch(self.state, w2c[None], self.camera,
+        out = _fisher_batch(self.state, w2c[None], self.fisher_camera,
                             self.fisher_settings, self.fisher_engine,
-                            self.fisher_full_chain)
+                            self.fisher_full_chain, self.fisher_grad_value)
         h = out["H"][0]
         if not return_points:
             h = h.reshape(-1)
@@ -947,9 +964,11 @@ class GaussianSLAM:
             pad = ck - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
-            out = _fisher_batch(self.state, jnp.asarray(chunk), self.camera,
+            out = _fisher_batch(self.state, jnp.asarray(chunk),
+                                self.fisher_camera,
                                 self.fisher_settings, self.fisher_engine,
-                                self.fisher_full_chain)
+                                self.fisher_full_chain,
+                                self.fisher_grad_value)
             h = out["H"][: len(w2cs[i:i + ck])] if pad else out["H"]
             h_train = h_train + jnp.sum(h, axis=0)
         return h_train
@@ -974,8 +993,9 @@ class GaussianSLAM:
                     [chunk, np.tile(np.eye(4, dtype=np.float32),
                                     (ck - n_real, 1, 1))])
             s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
-                             self.camera, self.fisher_settings,
-                             self.fisher_engine, self.fisher_full_chain)
+                             self.fisher_camera, self.fisher_settings,
+                             self.fisher_engine, self.fisher_full_chain,
+                             self.fisher_grad_value)
             chunks.append((s, n_real))
 
         def resolve():
@@ -1204,8 +1224,8 @@ class GaussianSLAM:
                     np.eye(4, dtype=np.float32), (ck - n_real, 1, 1))])
             vs, pm = _pose_point_scores(
                 self.state, jnp.asarray(chunk), n_real, h_train_inv,
-                self.camera, self.fisher_settings, self.fisher_engine,
-                self.fisher_full_chain)
+                self.fisher_camera, self.fisher_settings, self.fisher_engine,
+                self.fisher_full_chain, self.fisher_grad_value)
             handles.append((vs, pm, n_real))
         pulled = jax.device_get([(v, p) for v, p, _ in handles])
         scores = np.concatenate(

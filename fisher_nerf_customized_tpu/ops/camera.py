@@ -24,6 +24,12 @@ class Camera(NamedTuple):
     height: int     # static
     near: float = 0.2    # matches in_frustum's 0.2 near cull (auxiliary.h)
     far: float = 100.0
+    # EWA low-pass added to cov2d's diagonal (reference forward.cu:74
+    # computeCov2D's +0.3).  A downsampled Fisher camera scales this by
+    # 1/s² so the pixel-space math stays exactly self-similar (cov2d,
+    # dx, conic all scale consistently) — without it the fixed floor
+    # dominates small splats at reduced resolution and distorts EIG.
+    dilation: float = 0.3
 
     @property
     def intrinsics(self):

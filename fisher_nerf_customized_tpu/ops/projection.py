@@ -104,11 +104,11 @@ def project_cov2d(means_cam, cov3d, camera: Camera):
     s00 = c0 * j00 + c2 * j02          # (Σ J0ᵀ)_x
     s01 = c1 * j00 + c4 * j02          # (Σ J0ᵀ)_y
     s02 = c2 * j00 + c5 * j02          # (Σ J0ᵀ)_z
-    a = j00 * s00 + j02 * s02 + 0.3
+    a = j00 * s00 + j02 * s02 + camera.dilation
     b = j11 * s01 + j12 * s02
     s11 = c3 * j11 + c4 * j12
     s12 = c4 * j11 + c5 * j12
-    c_ = j11 * s11 + j12 * s12 + 0.3
+    c_ = j11 * s11 + j12 * s12 + camera.dilation
     return (a, b, c_), (tx, ty, z)
 
 
@@ -160,9 +160,11 @@ def conic_mean_jac(means_cam, cov3d, camera: Camera, valid=None):
         j11 = fy / z
         j12 = -fy * ty / (z * z)
         c0, c1, c2, c3, c4, c5 = (cv[0], cv[1], cv[2], cv[3], cv[4], cv[5])
-        a = j00 * (c0 * j00 + c2 * j02) + j02 * (c2 * j00 + c5 * j02) + 0.3
+        a = j00 * (c0 * j00 + c2 * j02) + j02 * (c2 * j00 + c5 * j02) \
+            + camera.dilation
         b = j11 * (c1 * j00 + c4 * j02) + j12 * (c2 * j00 + c5 * j02)
-        c_ = j11 * (c3 * j11 + c4 * j12) + j12 * (c4 * j11 + c5 * j12) + 0.3
+        c_ = j11 * (c3 * j11 + c4 * j12) + j12 * (c4 * j11 + c5 * j12) \
+            + camera.dilation
         det = a * c_ - b * b
         det = jnp.where(det > 0, det, 1.0)
         return jnp.stack([c_ / det, -b / det, a / det])

@@ -60,9 +60,15 @@ class StepTimer:
     """Per-phase wall-clock accounting (tracking/mapping/planning/eval);
     the first-class profiling channel the reference lacks."""
 
+    MAX_EVENTS = 20000
+
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        # bounded per-call timeline [(name, t_start, dt)] — lets a
+        # post-run analysis separate warm event cost from compile/stall
+        # outliers, which per-phase means hide
+        self.events: list[tuple[str, float, float]] = []
 
     @contextmanager
     def phase(self, name: str):
@@ -73,6 +79,8 @@ class StepTimer:
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
+            if len(self.events) < self.MAX_EVENTS:
+                self.events.append((name, t0, dt))
 
     def summary(self) -> dict:
         return {k: dict(total_s=round(self.totals[k], 3),
