@@ -235,11 +235,16 @@ def get_cfg_defaults() -> ConfigNode:
         plan_watermark=2,
         mapping_frames_per_iter=1,  # >1: minibatch mapping (TPU upgrade;
                                     # 1 = reference one-frame-per-iter)
-        fisher_downsample=1,       # EIG renders at (H/s, W/s): candidate
+        fisher_downsample=2,       # EIG renders at (H/s, W/s): candidate
                                    # ranking is downsample-stable (gated,
                                    # tests/test_fisher_downsample.py);
-                                   # grad_value compensates so H keeps
-                                   # its full-res magnitude
+                                   # grad_value and camera.dilation are
+                                   # scale-compensated.  Default 2 after
+                                   # a 3-seed 240-step hardware A/B:
+                                   # completeness 80.6 vs 79.4, AUC 60.0
+                                   # vs 59.9, PSNR 20.2 vs 20.5 (seed
+                                   # noise), +20% episode throughput.
+                                   # Set 1 for exact reference-res EIG.
         fisher_mode="sq_chain",    # sq_chain | hutchinson
         fisher_engine="auto",      # auto | pallas | xla (auto: pallas on
                                    # real TPU, xla on the CPU test backend)
