@@ -220,6 +220,12 @@ def get_cfg_defaults() -> ConfigNode:
                                    # config
         capacity=32768,            # initial Gaussian-state slot capacity
         capacity_growth=2,         # grow factor when slots run out
+        blend_chunk=256,           # depth-chunk size of the blend walk
+                                   # (clamped to max_per_tile).  256 vs
+                                   # 64 measured ~6% off the mapping
+                                   # event on v5e (fewer sequential
+                                   # chunk iterations, larger MXU
+                                   # shapes); math is grouping-invariant
         pose_chunk=32,             # candidate poses evaluated per XLA launch
         object_pose_chunk=8,       # object-branch pose batch (the 11-dim
                                    # Hutchinson Hessian is ~3x wider than

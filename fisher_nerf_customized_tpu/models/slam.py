@@ -467,7 +467,9 @@ class GaussianSLAM:
             str(tpu.get("blend_backward", "auto")))
         self.settings = RenderSettings(tile_size=int(tpu.tile_size),
                                        max_per_tile=int(tpu.max_per_tile),
-                                       chunk=min(64, int(tpu.max_per_tile)),
+                                       chunk=min(int(tpu.get("blend_chunk",
+                                                             256)),
+                                                 int(tpu.max_per_tile)),
                                        diff_backend=diff_backend,
                                        fwd_backend=str(
                                            tpu.get("blend_forward", "xla")),

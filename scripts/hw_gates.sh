@@ -1,6 +1,10 @@
 #!/usr/bin/env bash
-# Pending hardware (real-TPU) validation gates, in priority order.
+# Hardware (real-TPU) validation gates, in priority order.
 # Run when the axon tunnel is up:  bash scripts/hw_gates.sh [outdir]
+#
+# Round-2 session (2026-08-18) ran all of these green — results in
+# QUALITY.md ("Round-2 hardware gates").  Keep this as the regression
+# runbook: re-run after any kernel/default change on hardware.
 #
 # Each gate appends its JSON/log to $OUT.  Safe to re-run; every stage
 # is independently skippable with Ctrl-C and bounded by a timeout.
@@ -28,32 +32,56 @@ run() {  # run <name> <timeout_s> <cmd...>
   timeout "$to" "$@" 2>&1 | tee "$OUT/$name.log" | tail -4
 }
 
-# 1. bench artifact (the round-recorded number): expect >= 2.5 steps/s
+# 0. Pallas kernel smoke (lowering on REAL hardware — interpret mode
+#    does NOT check Mosaic block rules; r2 found all three kernels
+#    failed to lower from a (1,1) SMEM operand)
+run kernel_smoke 600 python - <<'EOF'
+import numpy as np, jax.numpy as jnp
+from fisher_nerf_customized_tpu.ops.pallas_blend import pallas_blend
+from fisher_nerf_customized_tpu.ops.pallas_blend_bwd import pallas_blend_bwd_slots
+from fisher_nerf_customized_tpu.ops.pallas_fisher import pallas_fisher_slots
+T, K, P, C = 4, 256, 128, 3
+r = np.random.default_rng(0)
+packed = jnp.asarray(r.normal(size=(T, K, 7 + C)).astype(np.float32))
+pix = jnp.asarray(r.uniform(0, 64, size=(T, 2, P)).astype(np.float32))
+nval = jnp.asarray(r.integers(0, K, size=(T,)).astype(np.int32))
+print("blend", pallas_blend(packed, pix, nval, 16, K, chunk=256)[0].shape)
+gcol = jnp.asarray(r.normal(size=(T, P, C)).astype(np.float32))
+gt = jnp.asarray(r.normal(size=(T, 1, P)).astype(np.float32))
+print("bwd", pallas_blend_bwd_slots(packed, pix, gcol, gt, nval, 256).shape)
+p11 = jnp.asarray(r.normal(size=(T, K, 11)).astype(np.float32))
+print("fisher", pallas_fisher_slots(p11, pix, nval, 64, 1.0, 100., 100.).shape)
+print("KERNELS OK")
+EOF
+
+# 1. bench artifact (the round-recorded number): r2 recorded 2.55-4.37
+#    steps/s depending on XLA disk-cache warmth; expect >= 2.5 cold
 run bench 2400 python bench.py
 
-# 2. SSIM-refixed quality re-baseline (QUALITY.md blessed table, both
-#    policies, 240 steps) — tables predating the separable-SSIM fix and
-#    the bound guards carry a corrupted SSIM loss term
-run quality_rebase 7200 python scripts/quality_check.py --steps 240
+# 2. scene quality gate (both policies, 240 steps) — blessed r2 table in
+#    QUALITY.md; FisherRF must beat frontier on cov2d/PSNR/AUC
+run quality 7200 python scripts/quality_check.py --steps 240
 
-# 3. object-branch gate: static + dynamic; target object_tracking_ms
-#    <= 300 warm, object AUC reported
-run quality_object 3600 python scripts/quality_check.py --object --steps 120
-run quality_object_dyn 3600 python scripts/quality_check.py --object --dynamic --steps 120
+# 3. object-branch gates: static + dynamic; warm object_tracking_ms
+#    <= 300 (r2: 143/124); canonical-frame obj completeness (r2:
+#    58.6 static / 91.1 dynamic)
+run quality_object 3600 python scripts/quality_check.py --object --steps 120 --policies gaussians_based
+run quality_object_dyn 3600 python scripts/quality_check.py --object --dynamic --steps 120 --policies gaussians_based
 
-# 4. Pallas forward-blend episode A/B (flip tpu.blend_forward default if
-#    the pallas forward wins reproducibly on adjacent runs)
-QUALITY_SET="tpu.blend_forward='pallas'" \
-  run quality_pallas_fwd 7200 python scripts/quality_check.py --steps 240 --policies gaussians_based
-
-# 5. OA golden-curve episodes at the full operating point (the CPU run
-#    of these at reduced iters feeds compare_curves; re-run here for the
-#    blessed table)
+# 4. OA criterion episodes (fisher is the default criterion in gate 3;
+#    topt/dopt here) — ordering topt > fisher >= dopt matched the
+#    reference's golden curves in r2 (compare via
+#    scripts/compare_curves.py, artifact auc_compare_oa_r2.csv)
 for crit in topt dopt; do
-  QUALITY_SET="criterion='$crit',workdir='$OUT/oa_$crit'" \
+  QUALITY_SET="criterion='$crit'" \
     run quality_oa_$crit 3600 python scripts/quality_check.py --object --steps 120 --policies gaussians_based
 done
 
+# 5. frontier-only pipeline (main_navigation.py) — one short episode
+run frontier_nav 1200 python main_navigation.py --name hwfr \
+  --slam_config configs/mp3d_gaussian_FR_frontier.yaml \
+  --dataset fake --dataset_split val --scenes_list fake_room_0 \
+  --sim fake --max_steps 30 --debug --log_dir "$OUT/hwfr" --eval_poses 8
+
 echo "== done; artifacts in $OUT"
-echo "   follow-ups: update QUALITY.md tables; if pallas fwd wins, flip"
-echo "   the default in config/defaults.py (tpu.blend_forward) + README"
+echo "   follow-ups: update QUALITY.md tables if any number moved"
