@@ -27,7 +27,13 @@ def _cpu_fingerprint():
     try:
         with open("/proc/cpuinfo") as f:
             flags = [ln for ln in f if ln.startswith("flags")][:1]
-        return hashlib.sha1("".join(flags).encode()).hexdigest()[:12]
+        # jax/jaxlib versions join the key: an upgraded wheel can change
+        # XLA's chosen target features (e.g. +prefer-no-gather) even on
+        # identical cpuinfo, and a stale AOT artifact then warns/SIGILLs
+        import jaxlib
+        tag = "".join(flags) + jax.__version__ + \
+            getattr(jaxlib, "__version__", "")
+        return hashlib.sha1(tag.encode()).hexdigest()[:12]
     except Exception:
         return "nofp"
 
