@@ -262,6 +262,9 @@ class ActiveMapper:
 
         prep = self._plan_prep
         self._plan_prep = None
+        snap = getattr(self, "_points_snapshot", None)
+        points = (snap[1] if snap is not None and snap[0] == t
+                  else None)
         with self.timer.phase("plan.global"):
             if (prep is not None and expansion == 1
                     and t - prep[0] <= self.plan_watermark + 2):
@@ -274,11 +277,14 @@ class ActiveMapper:
                 pose_fn = None if self.policy_name == "frontier" \
                     else slam.pose_eval_async
                 finish = planner.global_planning(
-                    pose_fn, slam.gaussian_points, None, expansion=expansion,
+                    pose_fn,
+                    points if points is not None else slam.gaussian_points,
+                    None, expansion=expansion,
                     visualize=bool(self.cfg.policy.save_nav_images),
                     agent_pose=current_agent_pose[:3, 3],
                     last_goal=self.last_goal, defer_scores=True)
-            gaussian_points = slam.gaussian_points
+            gaussian_points = (points if points is not None
+                               else slam.gaussian_points)
             if finish is None or isinstance(finish, tuple):
                 return None, None
         # the candidate Fisher batch is now in flight — dispatch the sweep
@@ -485,6 +491,18 @@ class ActiveMapper:
                     and 0 < len(self.queue) <= self.plan_watermark):
                 with self.timer.phase("planning"):
                     self.prepare_planning(c2w, t)
+            # planning runs this step iff the action queue is empty:
+            # snapshot the Gaussian means BEFORE the mapping dispatch so
+            # the planner's geometry pull doesn't park the host behind
+            # ~0.8 s of queued mapping compute (profiled: 870 ms/event).
+            # Staleness is only THIS event's densify — the occupancy map
+            # stays fully current and candidate SCORING still uses the
+            # post-mapping params (dispatched after, in stream order).
+            if (not self.queue and self.traj_actions is None
+                    and self.upen is None
+                    and self.policy_name not in ("random_walk", "frontier")
+                    and not bool(self.cfg.explore.prune_invisible)):
+                self._points_snapshot = (t, self.slam.gaussian_points)
             with self.timer.phase("tracking_mapping"):
                 self.slam.track_rgbd(obs["rgb"], obs["depth"],
                                      gt_w2c=np.linalg.inv(c2w))
@@ -586,7 +604,13 @@ class ActiveMapper:
                 if bool(self.cfg.policy.save_nav_images) and t % 20 == 0:
                     self.habvis.save_vis_seen(
                         os.path.join(self.eval_dir, "nav_images"), t)
-            if t > 0 and t % self.checkpoint_interval == 0:
+            # checkpoint cadence is OFFSET to the middle of the mapping
+            # window: at t % interval == 0 the save landed exactly one step
+            # after a mapping dispatch and its state pull blocked on the
+            # whole ~0.8 s event (profiled ~5 s/episode); mid-window the
+            # device is idle and the same pull is just a transfer
+            ck_off = (int(self.cfg.map_every) // 2) % self.checkpoint_interval
+            if t > ck_off and t % self.checkpoint_interval == ck_off:
                 # post-step site: the sim already moved to step t+1's pose
                 self.save_checkpoint(t, sim_c2w=obs["c2w"], resume_t=t + 1)
             if on_step is not None:
@@ -664,8 +688,7 @@ class ActiveMapper:
             extra.update(habvis_fow=hv["fow_mask"],
                          habvis_traj=np.asarray(hv["traj"]).reshape(-1, 2),
                          habvis_obj=np.asarray(hv["obj_traj"]).reshape(-1, 2))
-        np.savez_compressed(os.path.join(self.eval_dir, "episode_state.npz"),
-                            **extra)
+        np.savez(os.path.join(self.eval_dir, "episode_state.npz"), **extra)
         # RNG states: without these a resumed episode's planning draws
         # diverge from the uninterrupted run's
         import pickle

@@ -694,7 +694,8 @@ class GaussianSLAM:
         if not self.initialized:
             self.init(color, depth, gt_w2c)
             return
-        color, depth = self._prep_inputs(color, depth)
+        depth_src = depth   # sim obs carry an async host copy; the prepped
+        color, depth = self._prep_inputs(color, depth)  # array does not
         time_idx = self.frame_idx + 1
         if self.use_gt_poses and gt_w2c is not None:
             w2c = np.asarray(gt_w2c, np.float32)
@@ -710,7 +711,8 @@ class GaussianSLAM:
         cfgc = self.cfg
         if time_idx == 0 or (time_idx + 1) % int(cfgc.map_every) == 0:
             self._mapping_event(color, depth, w2c, time_idx,
-                                color_dev=color_dev, depth_dev=depth_dev)
+                                color_dev=color_dev, depth_dev=depth_dev,
+                                depth_src=depth_src)
 
         if ((time_idx + 1) % int(cfgc.keyframe_every) == 0
                 or time_idx == int(cfgc.num_frames) - 2):
@@ -781,7 +783,7 @@ class GaussianSLAM:
         self._maybe_bump_tile_capacity(int(overflow), n_renders)
 
     def _mapping_event(self, color, depth, w2c, time_idx,
-                       color_dev=None, depth_dev=None):
+                       color_dev=None, depth_dev=None, depth_src=None):
         cfgc = self.cfg
         self._flush_pending_bump()
         if color_dev is None:
@@ -808,8 +810,15 @@ class GaussianSLAM:
 
         # keyframe window selection (gaussian.py:700-722)
         num_kf = int(cfgc.mapping_window_size) - 2
+        # overlap selection runs on host: pull the ORIGINAL obs depth (its
+        # async host copy landed steps ago) instead of the prepped device
+        # array, whose fresh pull blocks on the whole queued stream
+        h_, w_ = self.camera.height, self.camera.width
+        host_depth = np.asarray(
+            depth if depth_src is None else depth_src,
+            np.float32).reshape(h_, w_)
         selected = select_keyframes_overlap(
-            np.asarray(depth)[None], w2c, self.intrinsics, self.keyframes,
+            host_depth[None], w2c, self.intrinsics, self.keyframes,
             num_kf, rng=self.rng)
         if len(self.keyframes) > 0:
             selected.append(len(self.keyframes) - 1)
@@ -1028,7 +1037,10 @@ class GaussianSLAM:
         # each pay a device round trip)
         ts, params = jax.device_get((self.state.timestep,
                                      self.state.params()))
-        np.savez_compressed(
+        # uncompressed savez: these writes sit on the episode's critical
+        # path (checkpoint_interval=40) and zlib on ~20 MB of float data
+        # costs ~2 s per checkpoint vs ~0.1 s raw
+        np.savez(
             path,
             n_active=self.n_active,
             timestep=ts,
@@ -1043,7 +1055,7 @@ class GaussianSLAM:
         # resume, tester:2745-2800)
         if len(self.keyframes):
             kf = self.keyframes.state_dict()
-            np.savez_compressed(
+            np.savez(
                 os.path.join(self.eval_dir, "keyframes.npz"),
                 colors=np.stack(kf["colors"]).astype(np.float16),
                 depths=np.stack(kf["depths"]).astype(np.float16),

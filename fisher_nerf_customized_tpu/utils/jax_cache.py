@@ -13,7 +13,10 @@ import os
 
 
 def enable_persistent_cache(cache_dir: str | None = None,
-                            min_compile_secs: float = 1.0):
+                            min_compile_secs: float = 0.0):
+    # min_compile_secs=0: jax's default 1.0 skips sub-second compiles, and
+    # an episode dispatches ~30 such small programs (profiled: 11 s of a
+    # 61 s episode was re-compiling sub-second kernels every run)
     import jax
     try:
         platform = jax.default_backend()

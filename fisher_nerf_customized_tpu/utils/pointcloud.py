@@ -214,7 +214,8 @@ class GlobalPointCloud:
     def save(self, path: str):
         pts = self.get()                       # drains pending device work
         cols = np.concatenate(self.colors) if self.colors else None
-        np.savez_compressed(path, points=pts,
+        # uncompressed: in-loop checkpoints pay this write synchronously
+        np.savez(path, points=pts,
                             colors=(cols if cols is not None
                                     else np.zeros((0, 3), np.float32)),
                             truncated=self.truncated_points)

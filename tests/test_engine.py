@@ -206,9 +206,11 @@ def test_kill_and_resume_equals_uninterrupted(tmp_path):
     r_a = m_a.test_navigation(eval_every=0)
 
     # part 1: same seeds, killed after the in-loop checkpoint at t=9
+    # (checkpoints land at t % interval == map_every//2, i.e. mid mapping
+    # window; map_every=6, interval=6 -> first checkpoint at t=9)
     sim_b, scene_b = make_sim(seed=11)
     cfg_b = episode_cfg(tmp_path / "b", steps=10)
-    cfg_b.checkpoint_interval = 9
+    cfg_b.checkpoint_interval = 6
     m_b = ActiveMapper(cfg_b, sim_b, scene=scene_b, seed=0)
     m_b.test_navigation(eval_every=0)
 
