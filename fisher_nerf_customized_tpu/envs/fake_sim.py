@@ -351,6 +351,21 @@ class FakeSim:
                                        np.asarray([17.0], np.float32)]))
         return boxes, obj_idx
 
+    def _boxes_dev(self, boxes):
+        """Device copies of the box arrays, cached by identity: the static
+        scene returns the same _Boxes object every step, and re-uploading
+        its 4 arrays cost 4 host->device RPCs per step for bytes that
+        never change.  Dynamic-object frames build fresh arrays and skip
+        the cache."""
+        c = getattr(self, "_boxes_dev_cache", None)
+        if c is not None and c[0] is boxes:
+            return c[1]
+        dev = (jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
+               jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed))
+        if boxes is self._boxes:
+            self._boxes_dev_cache = (boxes, dev)
+        return dev
+
     def reset(self, start_xz=(0.0, 0.0), yaw: float = 0.0):
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
@@ -365,9 +380,9 @@ class FakeSim:
     def get_observations(self):
         boxes, obj_idx = self._boxes_now()
         if self.device_obs:
+            lo_d, hi_d, in_d, cs_d = self._boxes_dev(boxes)
             rgb, depth, hit = _raycast_device(
-                jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
-                jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
+                lo_d, hi_d, in_d, cs_d,
                 jnp.asarray(np.asarray(self.c2w, np.float32)), self.camera)
             obs = dict(rgb=rgb, depth=depth, c2w=self.c2w.copy())
             if self.dynamic_object is not None:
@@ -404,9 +419,9 @@ class FakeSim:
             return            # object state may still change this frame
         next_c2w, collided = self._next_pose(int(action_id))
         boxes, obj_idx = self._boxes_now()
+        lo_d, hi_d, in_d, cs_d = self._boxes_dev(boxes)
         out = _raycast_device(
-            jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
-            jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
+            lo_d, hi_d, in_d, cs_d,
             jnp.asarray(next_c2w), self.camera)
         sem_dev = None
         if not self.device_obs:

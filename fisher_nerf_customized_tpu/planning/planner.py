@@ -229,9 +229,15 @@ class AstarPlanner:
         cz = int(np.floor((c2w[2, 3] - self.map_center[1]) / self.cell_size)
                  + (self.grid_dim[1] - 1) // 2)
         self.cam_pos = np.array([cz, cx])
+        # map_center is fixed per episode: cache its device copy instead of
+        # paying one H2D upload RPC per step
+        mc = getattr(self, "_map_center_dev", None)
+        if mc is None or mc[0] is not self.map_center:
+            mc = (self.map_center, jnp.asarray(self.map_center))
+            self._map_center_dev = mc
         self.occ_map, _ = occ_update(
             self.occ_map, jnp.asarray(depth), jnp.asarray(c2w), self.camera,
-            self.cell_size, jnp.asarray(self.map_center), self.height_lower,
+            self.cell_size, mc[1], self.height_lower,
             self.height_upper, self.pcd_far_distance)
 
     # -- conversions (reference astar.py:1372-1381) -------------------------
