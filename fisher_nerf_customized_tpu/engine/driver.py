@@ -297,7 +297,9 @@ class ActiveMapper:
                 planner.setup_start(start, gaussian_points, t)
             except LocalizationError:
                 return None, None
-        with self.timer.phase("plan.global"):
+        # separate phase: this is the BLOCKING pull on the in-flight
+        # candidate Fisher batch (device-bound wait, not host work)
+        with self.timer.phase("plan.global.wait"):
             global_points, eigs, _rgp = finish()
             if global_points is None:
                 return None, None

@@ -75,17 +75,28 @@ def _gaussian_rendervars(params: dict, w2c):
 
 
 def _render_rgbd(camera, settings, params, n_active, w2c, bg_white=False,
-                 bins=None):
-    """Single 6-channel pass: [r, g, b, z, 1, z²] (reference runs two
-    3-channel passes; slam_helpers.py:235 get_depth_and_silhouette).
-    With `bins`, blends against a frozen binning table (see
-    ops.rasterize.render_prebinned)."""
+                 bins=None, with_depth_sq=False):
+    """Single fused pass over [r, g, b, z] (+ z² when `with_depth_sq`)
+    (the reference runs two 3-channel passes; slam_helpers.py:235
+    get_depth_and_silhouette blends [z, 1, z²]).
+
+    The silhouette channel is NOT blended: the blended constant-ones
+    channel telescopes exactly to 1 − Π(1 − αᵢ) = 1 − final_t, and the
+    blend kernel already outputs final_t — so `sil` here is computed as
+    `1 - final_t`, removing one channel from the pack/gather/blend/
+    scatter hot path.  z² (the reference's depth-uncertainty channel) is
+    opt-in; no in-repo consumer reads it.  With `bins`, blends against a
+    frozen binning table (see ops.rasterize.render_prebinned)."""
     from ..ops.rasterize import render_prebinned
     means_cam, scales, quats, opac = _gaussian_rendervars(params, w2c)
     z = means_cam[:, 2:3]
-    colors = jnp.concatenate(
-        [params["rgb_colors"], z, jnp.ones_like(z), z * z], axis=-1)
-    bg = jnp.array([1.0, 1, 1, 0, 0, 0]) if bg_white else jnp.zeros(6)
+    cols = [params["rgb_colors"], z]
+    if with_depth_sq:
+        cols.append(z * z)
+    colors = jnp.concatenate(cols, axis=-1)
+    cch = colors.shape[-1]
+    bg = (jnp.array([1.0, 1.0, 1.0] + [0.0] * (cch - 3)) if bg_white
+          else jnp.zeros(cch))
     if bins is not None:
         out = render_prebinned(camera, means_cam, scales, quats, opac,
                                colors, bins, bg=bg, settings=settings)
@@ -95,11 +106,13 @@ def _render_rgbd(camera, settings, params, n_active, w2c, bg_white=False,
                      active=active, settings=settings)
     img = out["color"][..., :3]
     depth_acc = out["color"][..., 3]
-    sil = out["color"][..., 4]
-    depth_sq = out["color"][..., 5]
-    return dict(im=img, depth=depth_acc, sil=sil, depth_sq=depth_sq,
-                med_depth=out["depth"], final_t=out["final_t"],
-                radii=out["radii"], overflow=out["overflow"])
+    sil = 1.0 - out["final_t"]
+    res = dict(im=img, depth=depth_acc, sil=sil,
+               med_depth=out["depth"], final_t=out["final_t"],
+               radii=out["radii"], overflow=out["overflow"])
+    if with_depth_sq:
+        res["depth_sq"] = out["color"][..., 4]
+    return res
 
 
 def _mapping_loss(params, n_active, w2c, gt_color, gt_depth, camera,
@@ -243,13 +256,13 @@ def _tracking_loss(cam_q, cam_t, params, n_active, gt_color, gt_depth,
     scales = jnp.exp(p["log_scales"])
     opac = jax.nn.sigmoid(p["logit_opacities"][:, 0])
     z = means_cam[:, 2:3]
-    colors = jnp.concatenate([p["rgb_colors"], z, jnp.ones_like(z), z * z],
-                             axis=-1)
+    # [rgb, z] only: sil is exactly 1 - final_t (see _render_rgbd)
+    colors = jnp.concatenate([p["rgb_colors"], z], axis=-1)
     active = jnp.arange(means_cam.shape[0]) < n_active
     out = render(camera, means_cam, scales, p["unnorm_rotations"], opac,
                  colors, active=active, settings=settings)
     depth = out["color"][..., 3]
-    sil = out["color"][..., 4]
+    sil = 1.0 - out["final_t"]
     im = out["color"][..., :3]
 
     mask = (gt_depth > 0) & jnp.isfinite(depth)
@@ -367,19 +380,20 @@ def _render_pose(state: GaussianState, w2c, camera: Camera,
         means_cam, scales, quats, opac = _gaussian_rendervars(params, w2c)
         opac = jnp.where(mask, opac, 0.0)
         z = means_cam[:, 2:3]
-        colors = jnp.concatenate([params["rgb_colors"], z,
-                                  jnp.ones_like(z), z * z], axis=-1)
+        # [rgb, z, z²]; sil = 1 - final_t (see _render_rgbd); z² kept
+        # here for the reference's depth-uncertainty output parity
+        colors = jnp.concatenate([params["rgb_colors"], z, z * z], axis=-1)
         active = jnp.arange(means_cam.shape[0]) < n_active
-        bg = jnp.array([1.0, 1, 1, 0, 0, 0]) if white_bg else jnp.zeros(6)
+        bg = jnp.array([1.0, 1, 1, 0, 0]) if white_bg else jnp.zeros(5)
         out = render(camera, means_cam, scales, quats, opac, colors, bg=bg,
                      active=active, settings=settings)
         return dict(im=out["color"][..., :3], depth=out["color"][..., 3],
-                    sil=out["color"][..., 4], med_depth=out["depth"],
+                    sil=1.0 - out["final_t"], med_depth=out["depth"],
                     final_t=out["final_t"], radii=out["radii"],
-                    depth_sq=out["color"][..., 5],
+                    depth_sq=out["color"][..., 4],
                     overflow=out["overflow"])
     return _render_rgbd(camera, settings, params, n_active, w2c,
-                        bg_white=white_bg)
+                        bg_white=white_bg, with_depth_sq=True)
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "engine",
