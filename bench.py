@@ -218,15 +218,22 @@ def main():
     steps_per_sec, chunk_rates, mapper, scene, n_steps, mean_rate = \
         _run_episode()
     rtt_after = _probe_rtt()
-    retried = False
-    if steps_per_sec < 2.5 and max(rtt_before, rtt_after) > 5.0:
-        # the episode ran inside a slow-tunnel window (per-dispatch
-        # latency, not framework time — see QUALITY.md stall-elimination
-        # notes).  One bounded retry after a pause; report the better
-        # median with both attempts recorded.
-        retried = True
+    retried = None
+    slow_tunnel = (steps_per_sec < 2.5
+                   and max(rtt_before, rtt_after) > 5.0)
+    # ascending chunk rates (last >> first) mean the measured segment was
+    # contaminated by residual XLA compiles — the persistent cache was
+    # cold (fresh container).  The run itself just warmed it, so one
+    # retry measures the real steady state.
+    cold_cache = (len(chunk_rates) >= 2
+                  and chunk_rates[-1] > 1.4 * chunk_rates[0])
+    if slow_tunnel or cold_cache:
+        # One bounded retry (pause only for the tunnel case); report the
+        # better median with both attempts recorded.
+        retried = "slow_tunnel" if slow_tunnel else "cold_cache"
         first = (steps_per_sec, chunk_rates, rtt_before, rtt_after)
-        time.sleep(60)
+        if slow_tunnel:
+            time.sleep(60)
         rtt_before = _probe_rtt()
         steps_per_sec2, chunk_rates2, mapper, scene, n_steps, mean_rate2 = \
             _run_episode()
@@ -265,11 +272,19 @@ def main():
             episode_steps=int(n_steps),
             tunnel_rtt_ms=[round(rtt_before, 2), round(rtt_after, 2)],
             slow_tunnel_retry=(
-                dict(first_rate=round(first[0], 3),
+                dict(reason=retried,
+                     first_rate=round(first[0], 3),
                      first_chunks=[round(r, 3) for r in first[1]],
                      first_rtt_ms=[round(first[2], 2), round(first[3], 2)])
                 if retried else None),
             wall_s=round(time.perf_counter() - t_start, 1),
+            # full per-phase breakdown (total seconds over the episode):
+            # attributes the residual per-step time beyond the two event
+            # phases (sim stepping, occupancy, pcl bookkeeping, ...)
+            phase_totals_s={k: v["total_s"]
+                            for k, v in sorted(
+                                timing.items(),
+                                key=lambda kv: -kv[1]["total_s"])},
             baseline_note="vs documented estimate 0.5 steps/s (reference "
                           "publishes no throughput numbers)",
         ))))
