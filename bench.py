@@ -160,7 +160,7 @@ def _run_episode():
     def on_step(t, obs):
         times.append(time.perf_counter())
 
-    mapper.test_navigation(eval_every=0, on_step=on_step)
+    mapper.test_navigation(n_eval_poses=0, on_step=on_step)
     ts = np.asarray(times)
     warmup_steps = 48
     chunk_rates = []
@@ -215,9 +215,9 @@ def main():
     # stall cannot sink the whole artifact (VERDICT r1 "weak" #1)
     t_start = time.perf_counter()
     rtt_before = _probe_rtt()
-    steps_per_sec, chunk_rates, mapper, scene, n_steps, mean_rate = \
-        _run_episode()
+    run1 = _run_episode()
     rtt_after = _probe_rtt()
+    steps_per_sec, chunk_rates = run1[0], run1[1]
     retried = None
     slow_tunnel = (steps_per_sec < 2.5
                    and max(rtt_before, rtt_after) > 5.0)
@@ -227,20 +227,23 @@ def main():
     # retry measures the real steady state.
     cold_cache = (len(chunk_rates) >= 2
                   and chunk_rates[-1] > 1.4 * chunk_rates[0])
+    chosen = run1
     if slow_tunnel or cold_cache:
-        # One bounded retry (pause only for the tunnel case); report the
-        # better median with both attempts recorded.
         retried = "slow_tunnel" if slow_tunnel else "cold_cache"
         first = (steps_per_sec, chunk_rates, rtt_before, rtt_after)
         if slow_tunnel:
             time.sleep(60)
         rtt_before = _probe_rtt()
-        steps_per_sec2, chunk_rates2, mapper, scene, n_steps, mean_rate2 = \
-            _run_episode()
+        run2 = _run_episode()
         rtt_after = _probe_rtt()
-        if steps_per_sec2 > steps_per_sec:
-            steps_per_sec, chunk_rates, mean_rate = (
-                steps_per_sec2, chunk_rates2, mean_rate2)
+        # cold_cache: the second run is the one measured against a warm
+        # cache — report it unconditionally (no best-of-two selection
+        # bias).  slow_tunnel: keep the faster run, but as a UNIT — the
+        # mapper/timing/step counts always come from the same episode as
+        # the reported rate.
+        if retried == "cold_cache" or run2[0] > run1[0]:
+            chosen = run2
+    steps_per_sec, chunk_rates, mapper, scene, n_steps, mean_rate = chosen
 
     # kernel-truth metrics (primary evidence alongside the episode rate;
     # the 0.5 steps/s baseline denominator is a documented estimate)
@@ -271,7 +274,7 @@ def main():
             coverage_pct_5cm=round(cov, 2),
             episode_steps=int(n_steps),
             tunnel_rtt_ms=[round(rtt_before, 2), round(rtt_after, 2)],
-            slow_tunnel_retry=(
+            retry_info=(
                 dict(reason=retried,
                      first_rate=round(first[0], 3),
                      first_chunks=[round(r, 3) for r in first[1]],

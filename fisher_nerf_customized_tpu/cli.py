@@ -139,7 +139,7 @@ def main(argv=None):
         if args.resume and args.checkpoint:
             mapper.resume(args.checkpoint)
         gt = scene.sample_surface_points(100000) if scene is not None else None
-        result = mapper.test_navigation(eval_every=args.eval_poses,
+        result = mapper.test_navigation(n_eval_poses=args.eval_poses,
                                         recon_gt_points=gt)
         mapper.save_checkpoint(result["steps"])
         mapper.global_pcl.save_ply(os.path.join(

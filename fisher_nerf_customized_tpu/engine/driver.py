@@ -331,8 +331,12 @@ class ActiveMapper:
             acc_idx = acc_step_indices(a_max,
                                        int(self.cfg.acc_H_train_every))
             # pad the path axis to a fixed 20 so path_eig_scores compiles
-            # once per episode (padding rows get -inf final EIG)
+            # once per episode (padding rows get -inf final EIG); in
+            # sharded mode the path axis is sharded over 'data', so round
+            # up to a multiple of the mesh axis
             p_max = 20
+            if slam.mesh is not None:
+                p_max = slam.mesh_data * -(-p_max // slam.mesh_data)
             w2cs = np.tile(np.eye(4, dtype=np.float32),
                            (p_max, len(acc_idx), 1, 1))
             valid = np.zeros((p_max, len(acc_idx)), bool)
@@ -353,18 +357,34 @@ class ActiveMapper:
                     # log of the endpoint EIG (reference mixes log-EIGs)
                     final_eigs[i] = np.log(max(float(eigs[gi]), 1e-30))
             with self.timer.phase("plan.path_eig"):
-                scores = path_eig_scores(
-                    slam.state, h_train, jnp.asarray(w2cs),
-                    jnp.asarray(valid), jnp.asarray(lengths),
-                    jnp.asarray(final_eigs), slam.fisher_camera,
-                    slam.fisher_settings,
-                    float(self.cfg.H_reg_lambda),
-                    float(self.cfg.path_pose_weight),
-                    float(self.cfg.path_point_weight),
-                    float(self.cfg.path_end_weight),
-                    bool(self.cfg.vol_weighted_H),
-                    float(slam.gs_pts_cnt()), slam.fisher_engine,
-                    slam.fisher_grad_value)
+                if slam.mesh is not None:
+                    from ..parallel.sharding import sharded_path_eig
+                    eig_fn = sharded_path_eig(
+                        slam.mesh, slam.fisher_camera, slam.fisher_settings,
+                        bool(self.cfg.vol_weighted_H), slam.fisher_engine,
+                        slam.fisher_grad_value)
+                    scores = eig_fn(
+                        slam.state, h_train, jnp.asarray(w2cs),
+                        jnp.asarray(valid), jnp.asarray(lengths),
+                        jnp.asarray(final_eigs),
+                        float(self.cfg.H_reg_lambda),
+                        float(self.cfg.path_pose_weight),
+                        float(self.cfg.path_point_weight),
+                        float(self.cfg.path_end_weight),
+                        float(slam.gs_pts_cnt()))
+                else:
+                    scores = path_eig_scores(
+                        slam.state, h_train, jnp.asarray(w2cs),
+                        jnp.asarray(valid), jnp.asarray(lengths),
+                        jnp.asarray(final_eigs), slam.fisher_camera,
+                        slam.fisher_settings,
+                        float(self.cfg.H_reg_lambda),
+                        float(self.cfg.path_pose_weight),
+                        float(self.cfg.path_point_weight),
+                        float(self.cfg.path_end_weight),
+                        bool(self.cfg.vol_weighted_H),
+                        float(slam.gs_pts_cnt()), slam.fisher_engine,
+                        slam.fisher_grad_value)
                 best = int(np.argmax(np.asarray(scores)[:n_paths]))
 
         self.last_goal = goals[best]
@@ -440,7 +460,7 @@ class ActiveMapper:
         return acts
 
     # -- main loop ----------------------------------------------------------
-    def test_navigation(self, eval_every: int | None = None,
+    def test_navigation(self, n_eval_poses: int | None = None,
                         recon_gt_points=None, on_step=None) -> dict:
         if getattr(self, "_resume_t", None) is not None:
             # resumed episode: state restored by resume(); continue mid-run
@@ -625,12 +645,12 @@ class ActiveMapper:
                       timing=self.timer.summary())
         if self.habvis is not None:
             result["coverage_2d_pct"] = self.habvis.coverage_2d()
-        if eval_every != 0 and self.scene is not None and \
+        if n_eval_poses != 0 and self.scene is not None and \
                 hasattr(self.sim, "render_at"):
             # reference protocol: 2000 uniform navigable poses
             # (tester:1372-1393) + PSNR scatter map (tester:1531-1556)
             nav_eval = eval_navigation(self.slam, self.sim, self.scene,
-                                       n_poses=eval_every or 2000,
+                                       n_poses=n_eval_poses or 2000,
                                        cam_height=float(c2w[1, 3]),
                                        out_dir=self.eval_dir)
             result["eval"] = {k: v for k, v in nav_eval.items()

@@ -133,10 +133,10 @@ def _mapping_loss(params, n_active, w2c, gt_color, gt_depth, camera,
                       overflow=out["overflow"])
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "settings", "mc"))
-def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
-                   frame_choices, camera: Camera, settings: RenderSettings,
-                   mc: MappingConfig):
+def _mapping_phase_impl(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
+                        frame_choices, camera: Camera,
+                        settings: RenderSettings, mc: MappingConfig,
+                        axis_name: str | None = None):
     """One fused mapping event: `num_iters` Adam iterations over randomly
     chosen window keyframes with periodic opacity pruning.
 
@@ -151,6 +151,13 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
         fixed point as removal) with ONE compaction after the scan; this
         keeps the frozen binning table valid and removes the per-prune
         full-state permutation from the loop.
+
+    axis_name: when set (shard_map SPMD over a device mesh axis —
+    parallel/sharding.sharded_mapping_phase), `frame_choices` carries only
+    this device's shard of each iteration's frame minibatch; per-device
+    gradients/losses are pmean'd so the replicated Adam update equals the
+    single-device mean over the full minibatch exactly (up to float
+    reduction order).
     """
     lrs = dict(means3D=mc.lr_means3D, rgb_colors=mc.lr_rgb,
                unnorm_rotations=mc.lr_rots, logit_opacities=mc.lr_logit_op,
@@ -199,6 +206,12 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
         i = frame_choices[it]                     # (F,) frame indices
         loss, grads = grad_fn(params, kf_w2cs[i], kf_colors[i],
                               kf_depths[i], i)
+        if axis_name is not None:
+            # SPMD: this device held only its shard of the minibatch —
+            # average to the global-minibatch gradient before the
+            # (replicated) Adam update and densify statistics
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
         # densification statistics (reference accumulate_mean2d_gradient)
         gnorm = jnp.linalg.norm(grads["means3D"], axis=-1)
         ga = ga + gnorm
@@ -214,7 +227,7 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
                 kill[:, None], -1e10, params["logit_opacities"])
         return (params, opt, ga, dn), loss
 
-    n_steps = max(mc.num_iters // mc.frames_per_iter, 1)
+    n_steps = frame_choices.shape[0]
     zeros_c = jnp.zeros((state.capacity,), jnp.float32)
     init = (params, opt, zeros_c, zeros_c)
     (params, _opt, ga, dn), losses = jax.lax.scan(
@@ -226,6 +239,11 @@ def _mapping_phase(state: GaussianState, kf_colors, kf_depths, kf_w2cs,
         new_state, order = prune_compact(new_state, keep)
         ga, dn = ga[order], dn[order]
     return new_state, losses, ga, dn, bin_overflow
+
+
+_mapping_phase = jax.jit(_mapping_phase_impl,
+                         static_argnames=("camera", "settings", "mc",
+                                          "axis_name"))
 
 
 class TrackingConfig(NamedTuple):
@@ -557,6 +575,46 @@ class GaussianSLAM:
         self.forward_prop = bool(tr.forward_prop)
         self.state = empty_state(int(tpu.capacity))
         self.pose_chunk = int(tpu.pose_chunk)
+        # -- product multi-chip mode (cfg.tpu.mesh_axes.data > 1): build
+        # the device mesh once and route the hot dispatches (mapping
+        # phase, candidate-pose EIG, H_train accumulation, path EIG)
+        # through parallel/sharding's shard_map factories.  The reference
+        # has no analog (single GPU, SURVEY.md §2.9); this is the TPU
+        # framework's scale-out axis.
+        self.mesh = None
+        self.mesh_data = 1
+        ma = tpu.get("mesh_axes", None)
+        mesh_data = int(ma.data) if ma is not None else 1
+        mesh_model = int(ma.model) if ma is not None else 1
+        if mesh_data > 1:
+            import logging as _logging
+            n_dev = jax.device_count()
+            if mesh_data * mesh_model > n_dev:
+                _logging.getLogger("fnc_tpu.slam").warning(
+                    "mesh_axes data=%d model=%d needs %d devices, have %d "
+                    "-> clamping data axis", mesh_data, mesh_model,
+                    mesh_data * mesh_model, n_dev)
+                mesh_data = max(n_dev // mesh_model, 1)
+        if mesh_data > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(data=mesh_data, model=mesh_model)
+            self.mesh_data = mesh_data
+            # keyframe-minibatch DP shards each iteration's F frames over
+            # 'data' -> F must be a multiple of the axis size (auto-bump
+            # = the natural DP scaling of the minibatch upgrade)
+            f = self.mc.frames_per_iter
+            if f % mesh_data:
+                newf = mesh_data * -(-f // mesh_data)
+                _logging.getLogger("fnc_tpu.slam").info(
+                    "sharded mapping: frames_per_iter %d -> %d (multiple "
+                    "of data axis %d)", f, newf, mesh_data)
+                self.mc = self.mc._replace(frames_per_iter=newf)
+            if self.pose_chunk % mesh_data:
+                self.pose_chunk = mesh_data * -(-self.pose_chunk
+                                                // mesh_data)
+        # sharded-dispatch counters (asserted by the multichip episode
+        # test to prove the episode actually exercised the shard paths)
+        self.sharded_calls = dict(mapping=0, pose=0, h_train=0)
         self.intrinsics = np.asarray(self.camera.intrinsics)
 
         self.keyframes = KeyframeBuffer(self.camera.height, self.camera.width)
@@ -860,13 +918,23 @@ class GaussianSLAM:
         n_steps = max(self.mc.num_iters // self.mc.frames_per_iter, 1)
         choices = self.rng.integers(
             0, min(b, b_max), size=(n_steps, self.mc.frames_per_iter))
-        state, losses, grad_accum, denom, overflow = _mapping_phase(
-            self.state,
-            jnp.stack(win_colors),
-            jnp.stack(win_depths),
-            jnp.asarray(np.stack(win_w2cs)),
-            jnp.asarray(choices, jnp.int32),
-            self.camera, self.settings, self.mc)
+        if self.mesh is not None:
+            from ..parallel.sharding import sharded_mapping_phase
+            phase_fn = sharded_mapping_phase(self.mesh, self.camera,
+                                             self.settings, self.mc)
+            state, losses, grad_accum, denom, overflow = phase_fn(
+                self.state, jnp.stack(win_colors), jnp.stack(win_depths),
+                jnp.asarray(np.stack(win_w2cs)),
+                jnp.asarray(choices, jnp.int32))
+            self.sharded_calls["mapping"] += 1
+        else:
+            state, losses, grad_accum, denom, overflow = _mapping_phase(
+                self.state,
+                jnp.stack(win_colors),
+                jnp.stack(win_depths),
+                jnp.asarray(np.stack(win_w2cs)),
+                jnp.asarray(choices, jnp.int32),
+                self.camera, self.settings, self.mc)
         self.state = state
         self.last_losses = losses        # device array; pulled lazily
         # overflow is per-frame binning truncation (bins are frozen for
@@ -984,17 +1052,33 @@ class GaussianSLAM:
         if len(w2cs) == 0:
             return h_train
         ck = min(self.pose_chunk, len(w2cs))
+        if self.mesh is not None:
+            # data axis must divide the chunk (init rounded pose_chunk up)
+            ck = self.mesh_data * -(-ck // self.mesh_data)
+            from ..parallel.sharding import sharded_fisher_hsum
+            hsum_fn = sharded_fisher_hsum(
+                self.mesh, self.fisher_camera, self.fisher_settings,
+                self.fisher_engine, self.fisher_full_chain,
+                self.fisher_grad_value)
         for i in range(0, len(w2cs), ck):
             chunk = w2cs[i:i + ck]
-            pad = ck - len(chunk)
+            n_real = len(chunk)
+            pad = ck - n_real
             if pad:
                 chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+            if self.mesh is not None:
+                weights = np.zeros((ck,), np.float32)
+                weights[:n_real] = 1.0
+                h_train = h_train + hsum_fn(self.state, jnp.asarray(chunk),
+                                            jnp.asarray(weights))
+                self.sharded_calls["h_train"] += 1
+                continue
             out = _fisher_batch(self.state, jnp.asarray(chunk),
                                 self.fisher_camera,
                                 self.fisher_settings, self.fisher_engine,
                                 self.fisher_full_chain,
                                 self.fisher_grad_value)
-            h = out["H"][: len(w2cs[i:i + ck])] if pad else out["H"]
+            h = out["H"][:n_real] if pad else out["H"]
             h_train = h_train + jnp.sum(h, axis=0)
         return h_train
 
@@ -1010,6 +1094,13 @@ class GaussianSLAM:
         ck = self.pose_chunk
         # dispatch ALL chunks asynchronously, sync once at resolve (each
         # early np.asarray would pay a full device round-trip)
+        sharded_fn = None
+        if self.mesh is not None:
+            from ..parallel.sharding import sharded_pose_scores
+            sharded_fn = sharded_pose_scores(
+                self.mesh, self.fisher_camera, self.fisher_settings,
+                self.fisher_engine, self.fisher_full_chain,
+                self.fisher_grad_value)
         for i in range(0, len(w2cs), ck):
             chunk = w2cs[i:i + ck]
             n_real = len(chunk)
@@ -1017,10 +1108,14 @@ class GaussianSLAM:
                 chunk = np.concatenate(
                     [chunk, np.tile(np.eye(4, dtype=np.float32),
                                     (ck - n_real, 1, 1))])
-            s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
-                             self.fisher_camera, self.fisher_settings,
-                             self.fisher_engine, self.fisher_full_chain,
-                             self.fisher_grad_value)
+            if sharded_fn is not None:
+                s = sharded_fn(self.state, jnp.asarray(chunk), h_train_inv)
+                self.sharded_calls["pose"] += 1
+            else:
+                s = _pose_scores(self.state, jnp.asarray(chunk), h_train_inv,
+                                 self.fisher_camera, self.fisher_settings,
+                                 self.fisher_engine, self.fisher_full_chain,
+                                 self.fisher_grad_value)
             chunks.append((s, n_real))
 
         def resolve():

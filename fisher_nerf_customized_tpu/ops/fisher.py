@@ -26,7 +26,11 @@ pixels.  Two passes over the depth chunks:
 vmap over candidate poses turns the reference's per-pose Python loop
 (gaussian.py:1362) into one batched XLA launch.
 
-Parity notes: with full_chain=True (default) the cov2D-through-mean chain
+Parity notes: with full_chain=True (this function's signature default —
+the exact-parity mode its tests exercise; note the ENGINE's runtime
+default is the reduced chain, `tpu.fisher_full_chain=False` in
+config/defaults.py, gated by a Spearman ≥0.99 + identical-argmax ranking
+test against this exact mode) the cov2D-through-mean chain
 (computeCov2DCUDA's dL_dmean term, backward.cu:144-270) is included: the
 per-Gaussian d(conic)/d(mean_cam) Jacobian is precomputed at preprocess
 time (projection.conic_mean_jac, reference clamp quirk preserved) and

@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..models.gaussian_state import GaussianState, adam_init, adam_step
-from ..models.slam import MappingConfig, _mapping_loss
+from ..models.slam import (MappingConfig, _fisher_batch, _mapping_loss,
+                           _mapping_phase_impl)
 from ..ops.binning import tile_bin
 from ..ops.camera import Camera
 from ..ops.fisher import _pack_params, fisher_core, fisher_diag
@@ -334,6 +335,99 @@ def fisher_diag_gaussian_sharded(mesh: Mesh, camera: Camera,
         return dict(H=h, radii=radii, visible=visible)
 
     return run
+
+
+# -- episode-path sharded factories ----------------------------------------
+# These are the PRODUCT multi-chip paths: GaussianSLAM routes its hot
+# dispatches through them whenever cfg.tpu.mesh_axes.data > 1 (see
+# GaussianSLAM.__init__/_mapping_event/pose_eval_async/_h_train_over and
+# ActiveMapper.plan_best_path).  Each factory is lru_cached on its static
+# configuration so the underlying shard_map program compiles once per
+# episode (re-tracing only on Gaussian-capacity growth, like the
+# single-device jits).
+
+@functools.lru_cache(maxsize=64)
+def sharded_mapping_phase(mesh: Mesh, camera: Camera,
+                          settings: RenderSettings, mc: MappingConfig):
+    """Keyframe-minibatch data parallelism over the FULL mapping event
+    (the scan of num_iters Adam steps, frozen binning, soft prune +
+    compaction — models/slam._mapping_phase_impl): `frame_choices`
+    (n_steps, F) is sharded over 'data' on the F axis; per-device
+    gradients are pmean'd inside the scan body, so the replicated update
+    equals the single-device F-frame minibatch step exactly (up to float
+    reduction order — exactness-tested in tests/test_sharded_episode.py).
+    """
+    def shard_fn(state, kf_colors, kf_depths, kf_w2cs, frame_choices):
+        return _mapping_phase_impl(state, kf_colors, kf_depths, kf_w2cs,
+                                   frame_choices, camera, settings, mc,
+                                   axis_name="data")
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(None, "data")),
+                   out_specs=(P(), P(), P(), P(), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def sharded_pose_scores(mesh: Mesh, camera: Camera, settings: RenderSettings,
+                        engine: str, full_chain: bool, grad_value: float):
+    """Candidate-pose data parallelism for EIG scoring: the (ck, 4, 4)
+    w2c chunk is sharded over 'data'; each device Fisher-renders its
+    poses against the replicated Gaussian state (same engine dispatch as
+    the single-device path — pallas on real TPU) and returns its shard of
+    sum(H ⊙ h_train_inv) scores."""
+    def shard_fn(state, w2cs, h_inv):
+        out = _fisher_batch(state, w2cs, camera, settings, engine,
+                            full_chain, grad_value)
+        return jnp.sum(out["H"] * h_inv[None], axis=(1, 2))
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P("data"), P()),
+                   out_specs=P("data"), check_vma=False)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def sharded_fisher_hsum(mesh: Mesh, camera: Camera, settings: RenderSettings,
+                        engine: str, full_chain: bool, grad_value: float):
+    """Sharded H_train accumulation: Σ over a (ck, 4, 4) keyframe-pose
+    chunk of the Fisher diagonal (gaussian.py:1338-1348 compute_H_train),
+    poses sharded over 'data', partial sums psum'd over ICI.  `weights`
+    (ck,) masks chunk padding (0 rows contribute nothing)."""
+    def shard_fn(state, w2cs, weights):
+        out = _fisher_batch(state, w2cs, camera, settings, engine,
+                            full_chain, grad_value)
+        h = jnp.sum(out["H"] * weights[:, None, None], axis=0)
+        return jax.lax.psum(h, "data")
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P("data"), P("data")), out_specs=P(),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def sharded_path_eig(mesh: Mesh, camera: Camera, settings: RenderSettings,
+                     vol_weighted: bool, engine: str, grad_value: float):
+    """Path-axis data parallelism for the path-EIG evaluation
+    (engine/path_eval.path_eig_scores): each device scans the action
+    steps for its shard of candidate paths, carrying its (P/D, N, 4)
+    running H_train_path locally — the per-path accumulators never cross
+    devices, so no hot collectives at all."""
+    from ..engine.path_eval import path_eig_scores
+
+    def shard_fn(state, h_train, acc_w2cs, acc_valid, lengths, final_eigs,
+                 h_reg_lambda, ppw, ptw, pew, gs_cnt):
+        return path_eig_scores(state, h_train, acc_w2cs, acc_valid,
+                               lengths, final_eigs, camera, settings,
+                               h_reg_lambda, ppw, ptw, pew, vol_weighted,
+                               gs_cnt, engine, grad_value)
+
+    d = P("data")
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(), d, d, d, d, P(), P(), P(), P(), P()),
+                   out_specs=d, check_vma=False)
+    return jax.jit(fn)
 
 
 def full_train_step(mesh: Mesh, camera: Camera, settings: RenderSettings,

@@ -96,7 +96,7 @@ def run_policy(policy: str, steps: int, frames_per_iter: int = 1,
                           dynamic_scene=dynamic_scene)
     gt = scene.sample_surface_points(100000)
     t0 = time.perf_counter()
-    result = mapper.test_navigation(eval_every=0, recon_gt_points=gt)
+    result = mapper.test_navigation(n_eval_poses=0, recon_gt_points=gt)
     wall = time.perf_counter() - t0
     ev = eval_navigation(mapper.slam, mapper.sim, scene, n_poses=60,
                          seed=42)

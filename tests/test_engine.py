@@ -55,7 +55,7 @@ def test_active_mapping_episode_runs(tmp_path):
     cfg = episode_cfg(tmp_path)
     mapper = ActiveMapper(cfg, sim, scene=scene, seed=0)
     gt = scene.sample_surface_points(4000)
-    result = mapper.test_navigation(eval_every=10, recon_gt_points=gt)
+    result = mapper.test_navigation(n_eval_poses=10, recon_gt_points=gt)
     assert result["steps"] >= 10
     assert result["n_gaussians"] > 1000
     # 24 steps only partially cover the room; mapped-view quality bars live
@@ -83,7 +83,7 @@ def test_traj_reader_replay_is_deterministic(tmp_path):
         cfg = episode_cfg(tmp_path, steps=len(actions))
         m = ActiveMapper(cfg, sim, scene=scene, seed=0,
                          traj_actions=actions)
-        r = m.test_navigation(eval_every=0)
+        r = m.test_navigation(n_eval_poses=0)
         return r, m.slam.n_active
 
     r1, n1 = run()
@@ -96,7 +96,7 @@ def test_random_walk_policy(tmp_path):
     sim, scene = make_sim(seed=2)
     cfg = episode_cfg(tmp_path, policy="random_walk", steps=12)
     mapper = ActiveMapper(cfg, sim, scene=scene, seed=0)
-    result = mapper.test_navigation(eval_every=0)
+    result = mapper.test_navigation(n_eval_poses=0)
     assert result["steps"] >= 10
 
 
@@ -163,7 +163,7 @@ def test_upen_policy_episode(tmp_path):
     sim, scene = make_sim(seed=7)
     cfg = episode_cfg(tmp_path, policy="UPEN_rrt", steps=12)
     mapper = ActiveMapper(cfg, sim, scene=scene, seed=0)
-    result = mapper.test_navigation(eval_every=0)
+    result = mapper.test_navigation(n_eval_poses=0)
     assert result["steps"] >= 8
 
 
@@ -174,7 +174,7 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     cfg = episode_cfg(tmp_path, steps=10)
     m1 = ActiveMapper(cfg, sim, scene=scene, seed=0,
                       traj_actions=[2, 1, 1, 2, 1, 1, 3, 1, 1, 1])
-    m1.test_navigation(eval_every=0)
+    m1.test_navigation(n_eval_poses=0)
     m1.save_checkpoint(m1.slam.frame_idx)
     ckpt = f"{m1.eval_dir}/params{m1.slam.frame_idx}.npz"
 
@@ -203,7 +203,7 @@ def test_kill_and_resume_equals_uninterrupted(tmp_path):
     sim_a, scene_a = make_sim(seed=11)
     cfg_a = episode_cfg(tmp_path / "a", steps=steps)
     m_a = ActiveMapper(cfg_a, sim_a, scene=scene_a, seed=0)
-    r_a = m_a.test_navigation(eval_every=0)
+    r_a = m_a.test_navigation(n_eval_poses=0)
 
     # part 1: same seeds, killed after the in-loop checkpoint at t=9
     # (checkpoints land at t % interval == map_every//2, i.e. mid mapping
@@ -212,7 +212,7 @@ def test_kill_and_resume_equals_uninterrupted(tmp_path):
     cfg_b = episode_cfg(tmp_path / "b", steps=10)
     cfg_b.checkpoint_interval = 6
     m_b = ActiveMapper(cfg_b, sim_b, scene=scene_b, seed=0)
-    m_b.test_navigation(eval_every=0)
+    m_b.test_navigation(n_eval_poses=0)
 
     # part 2: fresh driver + fresh sim, resumed from the checkpoint
     sim_c, scene_c = make_sim(seed=11)
@@ -220,7 +220,7 @@ def test_kill_and_resume_equals_uninterrupted(tmp_path):
     cfg_c.checkpoint_interval = 10_000
     m_c = ActiveMapper(cfg_c, sim_c, scene=scene_c, seed=0)
     m_c.resume(f"{m_b.eval_dir}/params9.npz")
-    r_c = m_c.test_navigation(eval_every=0)
+    r_c = m_c.test_navigation(n_eval_poses=0)
 
     assert r_c["steps"] == r_a["steps"]
     np.testing.assert_allclose(sim_c.c2w, sim_a.c2w, atol=1e-5)
@@ -236,7 +236,7 @@ def test_pipeline_planning_optin(tmp_path):
     cfg.tpu.pipeline_planning = True
     sim, scene = make_sim()
     mapper = ActiveMapper(cfg, sim, scene=scene, seed=0)
-    result = mapper.test_navigation(eval_every=0)
+    result = mapper.test_navigation(n_eval_poses=0)
     assert result["steps"] >= 10
     assert mapper.slam.n_active > 0
 

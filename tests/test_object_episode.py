@@ -41,7 +41,7 @@ def test_object_episode_fisher(tmp_path):
     cfg.explore_object.sample_view_num = 8
     mapper = ActiveMapper(cfg, sim, scene=scene, seed=0, object_scene=True,
                           dynamic_scene=False)
-    result = mapper.test_navigation(eval_every=0)
+    result = mapper.test_navigation(n_eval_poses=0)
     assert result["steps"] >= 10
     assert mapper.obj_slam is not None
     assert mapper.obj_slam.n_active > 0
@@ -66,7 +66,7 @@ def test_object_episode_topt(tmp_path):
     cfg.tpu.hutchinson_probes = 2
     mapper = ActiveMapper(cfg, sim, scene=scene, seed=0, object_scene=True,
                           dynamic_scene=True)
-    result = mapper.test_navigation(eval_every=0)
+    result = mapper.test_navigation(n_eval_poses=0)
     assert result["steps"] >= 8
     assert mapper.obj_slam is not None
 
@@ -87,7 +87,7 @@ def test_known_env_novelty_episode(tmp_path):
     obs = sim.reset(yaw=0.0)        # facing the object
     mask = mapper._object_mask(obs)
     assert mask is not None and mask.sum() > 20
-    result = mapper.test_navigation(eval_every=0)
+    result = mapper.test_navigation(n_eval_poses=0)
     assert result["steps"] >= 6
     assert mapper.obj_slam is not None
 
