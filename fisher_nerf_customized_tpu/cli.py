@@ -85,8 +85,16 @@ def make_sim(args, cfg, scene_id: str):
                  cy=float(cfg.SLAM.Dataset.Calibration.cy),
                  width=w, height=h)
     if args.sim == "habitat":
-        from .envs.habitat_adapter import HabitatSim
-        return HabitatSim(args, cfg, scene_id), None
+        from .envs.habitat_adapter import HabitatScene, HabitatSim
+        hsim = HabitatSim(args, cfg, scene_id)
+        if getattr(args, "object_scene", False):
+            # reference tester:331-399: wheeled_robot glb under root_path,
+            # scaled, placed at a random navigable point
+            hsim.spawn_object(os.path.join(
+                str(getattr(args, "root_path", "data")),
+                "habitat_example_objects_0.2/wheeled_robot"),
+                scale=0.3, semantic_id=100)
+        return hsim, HabitatScene(hsim)
     from .envs.fake_sim import BoxScene, FakeSim, SimObject
     # stable across processes (hash() is salted per interpreter, which
     # would make the procedural scene irreproducible from the scene id)
@@ -126,7 +134,8 @@ def main(argv=None):
         sim, scene = make_sim(args, cfg, scene_id)
         eval_dir = os.path.join(cfg.workdir, cfg.run_name, scene_id)
         known_env_points = None
-        if args.known_env and scene is not None:
+        if args.known_env and scene is not None and \
+                hasattr(scene, "room_lo"):   # HabitatScene has no GT boxes
             from .envs.fake_sim import BoxScene
             empty = BoxScene(room_lo=scene.room_lo, room_hi=scene.room_hi,
                              obstacles=scene.obstacles)

@@ -185,6 +185,79 @@ def save_psnr_scatter(path: str, scene, poses: np.ndarray,
     cv2.imwrite(path, img[..., ::-1])
 
 
+def eval_nvs(slam, frames, eval_every: int = 1, sil_thres: float = 0.5,
+             out_dir: str | None = None, hole_pct_thres: float = 0.1) -> dict:
+    """Novel-view-synthesis evaluation over a RECORDED trajectory
+    (reference models/SLAM/utils/eval_helpers.py:639-833 eval_nvs):
+    frame 0 is the training init frame and is skipped; of the rest every
+    `eval_every`-th is rendered at its GT pose; a frame whose silhouette
+    leaves > `hole_pct_thres`% of valid-depth pixels uncovered is marked
+    invalid (unseen region — not the map's fault); averages are over
+    VALID frames only, per-frame curves cover all evaluated frames.
+
+    `frames`: iterable of (rgb [0,1] (H,W,3), depth meters (H,W), c2w),
+    or a ReplaySim (its recorded arrays are used directly).  Metrics
+    match the reference's: masked PSNR/SSIM/LPIPS(proxy here) on
+    valid-depth pixels, depth RMSE + L1 over valid depth.
+    """
+    if hasattr(frames, "colors"):        # ReplaySim
+        frames = list(zip(frames.colors, frames.depths, frames.c2ws))
+    else:
+        frames = list(frames)
+    per_frame, valid_flags = [], []
+    for time_idx, (rgb, depth, c2w) in enumerate(frames):
+        if time_idx == 0:
+            continue                     # first train frame (ref :676)
+        test_idx = time_idx - 1
+        if test_idx != 0 and (test_idx + 1) % eval_every != 0:
+            continue
+        out = slam.render_at_pose(c2w)
+        im = np.clip(np.asarray(out["render"]), 0.0, 1.0)
+        rdepth = np.asarray(out["depth"])
+        sil = np.asarray(out["sil"])
+        gt_rgb = np.clip(np.asarray(rgb, np.float32), 0.0, 1.0)
+        gt_depth = np.asarray(depth, np.float32)
+
+        valid_depth = gt_depth > 0
+        presence = sil > sil_thres
+        # holes: valid-depth pixels the map has no splat coverage for
+        holes_pct = float(np.mean(~(presence | ~valid_depth))) * 100.0
+        valid_flags.append(holes_pct <= hole_pct_thres)
+
+        m3 = valid_depth[..., None].astype(np.float32)
+        psnr = float(calc_psnr(jnp.asarray(im * m3),
+                               jnp.asarray(gt_rgb * m3)))
+        ssim = float(calc_ssim(jnp.asarray(im * m3),
+                               jnp.asarray(gt_rgb * m3)))
+        lp = float(lpips_proxy(jnp.asarray(im * m3),
+                               jnp.asarray(gt_rgb * m3)))
+        nv = max(int(valid_depth.sum()), 1)
+        diff = (rdepth - gt_depth) * valid_depth
+        per_frame.append(dict(
+            frame=test_idx, psnr=psnr, ssim=ssim, lpips_proxy=lp,
+            depth_rmse=float(np.sqrt((diff ** 2).sum() / nv)),
+            depth_l1=float(np.abs(diff).sum() / nv),
+            holes_pct=holes_pct))
+    valid = np.asarray(valid_flags, bool)
+    keys = ("psnr", "ssim", "lpips_proxy", "depth_rmse", "depth_l1")
+    if valid.any():
+        avg = {k: float(np.mean([f[k] for f, v in zip(per_frame, valid)
+                                 if v])) for k in keys}
+    else:                                # nothing valid: honest NaNs
+        avg = {k: float("nan") for k in keys}
+    result = dict(n_eval_frames=len(per_frame),
+                  n_valid_frames=int(valid.sum()),
+                  valid_nvs_frames=valid.tolist(), per_frame=per_frame,
+                  **avg)
+    if out_dir is not None:              # ref saves per-metric txt curves
+        os.makedirs(out_dir, exist_ok=True)
+        for k in keys:
+            np.savetxt(os.path.join(out_dir, f"{k}.txt"),
+                       np.asarray([f[k] for f in per_frame]))
+        np.save(os.path.join(out_dir, "valid_nvs_frames.npy"), valid)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # trajectory metrics
 # ---------------------------------------------------------------------------

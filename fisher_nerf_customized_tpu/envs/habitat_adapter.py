@@ -252,6 +252,158 @@ def _state_c2w(agent_state) -> np.ndarray:
     return sensor_c2w(s.position, (q.w, q.x, q.y, q.z))
 
 
+def rotmat_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> (w, x, y, z) quaternion (Shepperd's method)."""
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2.0
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2.0
+    q = np.empty(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def set_agent_state(sim, c2w: np.ndarray) -> None:
+    """Teleport the agent (and its rgb/depth sensors) to a CV-frame c2w —
+    the reference's set_agent_state (test_utils.py:63-123): only the x/z
+    position components move (y keeps the agent height), the rotation is
+    reduced to its yaw (only the quaternion's y and w components are
+    written), and the CV frame's y/z axes are flipped back into habitat's
+    y-up/-z-forward sensor frame before extracting the quaternion."""
+    c2w = np.asarray(c2w, np.float64)
+    state = sim.get_agent_state()
+    if c2w.size == 16:
+        x, z = float(c2w[0, 3]), float(c2w[2, 3])
+        rot = c2w[:3, :3].copy()
+        rot[:, 1] *= -1.0
+        rot[:, 2] *= -1.0
+        qw, _qx, qy, _qz = rotmat_to_quat_wxyz(rot)
+    elif c2w.size == 7:        # (x, y, z, qw, qx, qy, qz)
+        x, z = float(c2w[0]), float(c2w[2])
+        qw, qy = float(c2w[3]), float(c2w[5])
+    else:
+        raise ValueError(f"set_agent_state: got size-{c2w.size} pose")
+    for tgt in [state] + list(state.sensor_states.values()):
+        tgt.position[0] = x
+        tgt.position[2] = z
+        tgt.rotation.y = qy
+        tgt.rotation.w = qw
+    sim.agents[0].set_state(state)
+
+
+class HabitatSimObject:
+    """Spawned rigid object with the reference SimObject's motion API
+    (SimObjects.py:5-163): semantic id, translation/pose accessors,
+    `moving_randomly` / `moving_forward_and_back` random-walk motion with
+    bounce-on-non-navigable.
+
+    Motion is integrated kinematically HERE (translation updates against
+    pathfinder navigability) instead of through habitat's velocity_control
+    + physics stepping — behaviorally equivalent for KINEMATIC objects and
+    contract-testable without habitat installed."""
+
+    def __init__(self, obj, navigable_fn, semantic_id: int = 100,
+                 speed: float = 0.04, gt_points: np.ndarray | None = None,
+                 seed: int = 0):
+        self.obj = obj                       # habitat rigid object (or mock)
+        self._navigable = navigable_fn
+        self.semantic_id = int(semantic_id)
+        self.speed = float(speed)
+        self.rng = np.random.default_rng(seed)
+        self.yaw = 0.0
+        self._dir = 1.0
+        # canonical-frame GT cloud (reference loads it from the object's
+        # glb via load_glb_pointcloud, tester:342-351; needs a mesh
+        # loader, so it is injected here when available)
+        self._gt_points = (np.asarray(gt_points, np.float32)
+                           if gt_points is not None else None)
+
+    @property
+    def translation(self) -> np.ndarray:
+        return np.asarray(self.obj.translation, np.float64).copy()
+
+    def set_translation(self, pos):
+        self.obj.translation = np.asarray(pos, np.float64)
+
+    def object_pose(self) -> np.ndarray:
+        """4x4 world-from-object transform (yaw-only random walk keeps the
+        canonical frame a pure translation, like FakeSim's SimObject)."""
+        T = np.eye(4, dtype=np.float64)
+        T[:3, 3] = self.translation
+        return T
+
+    def sample_surface_points(self, n: int, rng=None,
+                              frame: str = "world") -> np.ndarray:
+        if self._gt_points is None:
+            raise RuntimeError(
+                "HabitatSimObject has no GT point cloud: pass gt_points "
+                "(the reference samples the object glb, tester:342-351)")
+        rng = rng or np.random.default_rng(0)
+        idx = rng.choice(len(self._gt_points), size=n,
+                         replace=n > len(self._gt_points))
+        pts = self._gt_points[idx]
+        if frame == "object":
+            return pts
+        return pts + self.translation.astype(np.float32)
+
+    def _try_move(self, delta) -> bool:
+        nxt = self.translation + delta
+        if self._navigable((nxt[0], nxt[1], nxt[2])):
+            self.set_translation(nxt)
+            return True
+        return False
+
+    def moving_forward_and_back(self):
+        """Oscillate along the heading (SimObjects.py:84-92)."""
+        d = np.array([np.sin(self.yaw), 0.0, np.cos(self.yaw)]) \
+            * self.speed * self._dir
+        if not self._try_move(d):
+            self._dir *= -1.0
+
+    def moving_randomly(self):
+        """Random yaw jitter + re-aim on non-navigable (SimObjects.py:94)."""
+        self.yaw += self.rng.uniform(-0.4, 0.4)
+        d = np.array([np.sin(self.yaw), 0.0, np.cos(self.yaw)]) * self.speed
+        if not self._try_move(d):
+            self.yaw = self.rng.uniform(0, 2 * np.pi)
+
+
+class HabitatScene:
+    """Scene handle for habitat episodes — the FakeSim BoxScene's eval
+    surface (sample_navigable / gt_free_map / is_navigable) backed by the
+    pathfinder, so eval_navigation's 2000-pose protocol (tester:1372-1393),
+    the PSNR scatter map, and the fog-of-war visualizer all run unchanged
+    with `--sim habitat`."""
+
+    def __init__(self, hsim: "HabitatSim"):
+        self._hsim = hsim
+
+    def is_navigable(self, pos) -> bool:
+        return self._hsim.is_navigable(pos)
+
+    def sample_navigable(self, rng: np.random.Generator, n: int):
+        return self._hsim.sample_navigable(rng, n)
+
+    def gt_free_map(self, cell_size: float, grid_dim, map_center):
+        return self._hsim.gt_free_map(cell_size, grid_dim, map_center)
+
+    def sample_surface_points(self, n: int, rng=None,
+                              interior_only: bool = True):
+        """GT surface cloud for 3D recon metrics.  The reference samples
+        the scene glb (scripts/evaluation.py:135 load_env_glb_pointcloud);
+        without a mesh loader in this environment there is no GT cloud —
+        recon metrics are skipped (driver handles None)."""
+        return None
+
+
 # -- the habitat-backed simulator ------------------------------------------
 
 class HabitatSim:
@@ -322,6 +474,8 @@ class HabitatSim:
                 noise_level=float(getattr(args, "noise_level", 1.0)),
                 seed=seed)
 
+        self.dynamic_object: HabitatSimObject | None = None
+        self._rng = np.random.default_rng(seed)
         self._env.reset()
 
     # -- data layer -----------------------------------------------------
@@ -357,6 +511,9 @@ class HabitatSim:
         return self._obs_dict(self._env.reset())
 
     def step(self, action_id: int):
+        # NOTE dynamic-object motion is advanced by the episode driver
+        # (engine/driver.py:486-488 calls dynamic_object.moving_randomly
+        # per step), matching FakeSim's contract
         return self._obs_dict(self._env.step(self.ACTION_MAP[int(action_id)]))
 
     def is_navigable(self, pos) -> bool:
@@ -368,3 +525,103 @@ class HabitatSim:
     @property
     def c2w(self):
         return _state_c2w(self._env.sim.get_agent_state())
+
+    # -- runtime surface (eval / resume / habvis / objects) --------------
+    def set_pose(self, c2w):
+        """Teleport via the reference's set_agent_state semantics
+        (test_utils.py:63-123) — drives resume pose replay
+        (tester:2745-2800) and the 2000-pose eval protocol."""
+        set_agent_state(self._env.sim, c2w)
+
+    def render_at(self, c2w):
+        """(rgb [0,1] float, depth meters) at an arbitrary pose, agent
+        state restored afterwards (the reference's eval loop teleports,
+        renders, and continues the episode — tester:1396-1529)."""
+        import copy
+        sim = self._env.sim
+        snapshot = copy.deepcopy(sim.get_agent_state())
+        try:
+            set_agent_state(sim, c2w)
+            obs = sim.get_sensor_observations()
+        finally:
+            sim.agents[0].set_state(snapshot)
+        rgb = np.asarray(obs["rgb"], np.float32)[..., :3] / 255.0
+        depth = np.asarray(obs["depth"], np.float32)
+        depth = depth.reshape(depth.shape[0], depth.shape[1])
+        if self.normalized_depth:
+            depth = unnormalize_depth(depth, self.min_depth, self.max_depth)
+        return rgb, depth
+
+    def sample_navigable(self, rng: np.random.Generator,
+                         n: int) -> np.ndarray:
+        """(n, 2) navigable xz samples from the pathfinder (reference
+        tester:1372-1393 pathfinder.get_random_navigable_point loop)."""
+        pf = self._env.sim.pathfinder
+        out = []
+        tries = 0
+        while len(out) < n:
+            p = pf.get_random_navigable_point()
+            tries += 1
+            if p is not None and np.all(np.isfinite(p)):
+                out.append((float(p[0]), float(p[2])))
+            elif tries > 100 * max(n, 1):
+                raise RuntimeError("pathfinder returned no navigable "
+                                   f"points after {tries} tries")
+        return np.asarray(out, np.float32)
+
+    def gt_free_map(self, cell_size: float, grid_dim,
+                    map_center) -> np.ndarray:
+        """Top-down navigability raster at the agent height — the
+        reference's draw_map/get_topdown_map (test_utils.py:31-60,
+        visualization/habitat_viz.py:48) on the habvis grid."""
+        y = float(self._env.sim.get_agent_state().position[1])
+        gx, gz = int(grid_dim[0]), int(grid_dim[1])
+        xs = (np.arange(gx) + 0.5 - gx // 2) * cell_size + map_center[0]
+        zs = (np.arange(gz) + 0.5 - gz // 2) * cell_size + map_center[1]
+        pf = self._env.sim.pathfinder
+        free = np.zeros((gz, gx), bool)
+        for iz, z in enumerate(zs):
+            for ix, x in enumerate(xs):
+                free[iz, ix] = bool(pf.is_navigable(
+                    [float(x), y, float(z)]))
+        return free
+
+    def spawn_object(self, template_path: str, scale: float = 1.0,
+                     semantic_id: int = 100, speed: float = 0.04,
+                     gt_points: np.ndarray | None = None,
+                     max_tries: int = 100) -> HabitatSimObject:
+        """Spawn a kinematic rigid object at a random navigable point —
+        the reference's initialize_dynamic_object (tester:358-399):
+        template load + scale + register, add_object_by_template_id,
+        KINEMATIC motion type, pathfinder placement."""
+        sim = self._env.sim
+        tmpl_mgr = sim.get_object_template_manager()
+        rigid_mgr = sim.get_rigid_object_manager()
+        template_id = tmpl_mgr.load_configs(str(template_path))[0]
+        template = tmpl_mgr.get_template_by_id(template_id)
+        template.scale = [scale, scale, scale]
+        tmpl_mgr.register_template(template)
+        obj = rigid_mgr.add_object_by_template_id(template_id)
+        try:
+            import habitat_sim  # type: ignore
+            obj.motion_type = habitat_sim.physics.MotionType.KINEMATIC
+        except Exception:
+            pass
+        pf = sim.pathfinder
+        pos = None
+        for _ in range(max_tries):
+            p = pf.get_random_navigable_point()
+            if p is not None and np.all(np.isfinite(p)):
+                pos = p
+                break
+        if pos is None:
+            raise RuntimeError("no navigable point found for the object "
+                               f"after {max_tries} tries (tester:382-390)")
+        obj.translation = np.asarray(pos, np.float64)
+        if hasattr(obj, "semantic_id"):
+            obj.semantic_id = int(semantic_id)
+        self.dynamic_object = HabitatSimObject(
+            obj, navigable_fn=lambda p3: self.is_navigable(p3),
+            semantic_id=semantic_id, speed=speed, gt_points=gt_points,
+            seed=int(self._rng.integers(2 ** 31)))
+        return self.dynamic_object

@@ -615,6 +615,7 @@ class GaussianSLAM:
         # sharded-dispatch counters (asserted by the multichip episode
         # test to prove the episode actually exercised the shard paths)
         self.sharded_calls = dict(mapping=0, pose=0, h_train=0)
+        self.last_mapping_args = None   # set by _mapping_event (for MFU)
         self.intrinsics = np.asarray(self.camera.intrinsics)
 
         self.keyframes = KeyframeBuffer(self.camera.height, self.camera.width)
@@ -918,22 +919,23 @@ class GaussianSLAM:
         n_steps = max(self.mc.num_iters // self.mc.frames_per_iter, 1)
         choices = self.rng.integers(
             0, min(b, b_max), size=(n_steps, self.mc.frames_per_iter))
+        kf_c = jnp.stack(win_colors)
+        kf_d = jnp.stack(win_depths)
+        kf_w = jnp.asarray(np.stack(win_w2cs))
+        ch = jnp.asarray(choices, jnp.int32)
+        # the exact args of the latest mapping event — bench.py's MFU
+        # accounting lowers the same program for XLA cost_analysis()
+        self.last_mapping_args = (kf_c, kf_d, kf_w, ch)
         if self.mesh is not None:
             from ..parallel.sharding import sharded_mapping_phase
             phase_fn = sharded_mapping_phase(self.mesh, self.camera,
                                              self.settings, self.mc)
             state, losses, grad_accum, denom, overflow = phase_fn(
-                self.state, jnp.stack(win_colors), jnp.stack(win_depths),
-                jnp.asarray(np.stack(win_w2cs)),
-                jnp.asarray(choices, jnp.int32))
+                self.state, kf_c, kf_d, kf_w, ch)
             self.sharded_calls["mapping"] += 1
         else:
             state, losses, grad_accum, denom, overflow = _mapping_phase(
-                self.state,
-                jnp.stack(win_colors),
-                jnp.stack(win_depths),
-                jnp.asarray(np.stack(win_w2cs)),
-                jnp.asarray(choices, jnp.int32),
+                self.state, kf_c, kf_d, kf_w, ch,
                 self.camera, self.settings, self.mc)
         self.state = state
         self.last_losses = losses        # device array; pulled lazily

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -38,7 +40,10 @@ class TileBins(NamedTuple):
     n_tiles_y: int
 
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# numpy scalar, NOT jnp: a module-level device constant would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# ordering on multi-host (it must run before any backend touch)
+_NEG_INF = np.float32(-np.inf)
 
 
 def _nearest_k(scores, k: int):

@@ -27,7 +27,7 @@ import numpy as np
 
 from .astar import _CORRIDORS, _NEIGHBORS, _collision_cost
 
-_INF = jnp.float32(3e38)
+_INF = np.float32(3e38)   # numpy scalar: no device alloc at import
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))

@@ -318,3 +318,49 @@ def test_uncertainty_scores_and_dbscan_unit(tmp_path):
     u = slam.uncertainty_scores()
     assert u.shape[0] == slam.state.capacity
     assert np.all(u[: slam.n_active] > 0)
+
+
+def test_eval_nvs_protocol(tmp_path):
+    """eval_nvs (reference eval_helpers.py:639): frame-0 skip, eval_every
+    stride, silhouette hole-validity, valid-frame-only averages."""
+    from fisher_nerf_customized_tpu.engine.eval import eval_nvs
+    from fisher_nerf_customized_tpu.envs.fake_sim import ReplaySim
+
+    slam = GaussianSLAM(small_cfg(tmp_path))
+    sim = make_sim()
+    obs = sim.reset(start_xz=(0.0, 0.0), yaw=0.2)
+    colors, depths, c2ws = [obs["rgb"]], [obs["depth"]], [obs["c2w"]]
+    slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
+    for a in [2, 1, 1, 2, 1, 3, 1, 1]:
+        obs = sim.step(a)
+        colors.append(obs["rgb"])
+        depths.append(obs["depth"])
+        c2ws.append(obs["c2w"])
+        slam.track_rgbd(obs["rgb"], obs["depth"],
+                        gt_w2c=np.linalg.inv(obs["c2w"]))
+
+    replay = ReplaySim(colors, depths, c2ws)
+    res = eval_nvs(slam, replay, eval_every=1, out_dir=str(tmp_path / "nvs"))
+    assert res["n_eval_frames"] == len(colors) - 1      # frame 0 skipped
+    assert res["n_valid_frames"] >= 1                   # mapped views valid
+    assert np.isfinite(res["psnr"]) and res["psnr"] > 10.0
+    assert 0.0 <= res["ssim"] <= 1.0
+    assert res["depth_l1"] < 0.5
+    assert (tmp_path / "nvs" / "psnr.txt").exists()
+    assert (tmp_path / "nvs" / "valid_nvs_frames.npy").exists()
+
+    # eval_every=3 keeps test_idx 0 and every 3rd thereafter (ref :681)
+    res3 = eval_nvs(slam, replay, eval_every=3)
+    kept = [f["frame"] for f in res3["per_frame"]]
+    assert kept == [i for i in range(len(colors) - 1)
+                    if i == 0 or (i + 1) % 3 == 0]
+
+    # a pose far outside the mapped region renders ~zero silhouette ->
+    # marked invalid and EXCLUDED from the averages
+    far_c2w = np.eye(4, dtype=np.float32)
+    far_c2w[:3, 3] = (50.0, 1.2, 50.0)
+    res_far = eval_nvs(slam, [(colors[0], depths[0], c2ws[0]),
+                              (colors[1], depths[1], far_c2w)])
+    assert res_far["n_eval_frames"] == 1
+    assert res_far["n_valid_frames"] == 0
+    assert np.isnan(res_far["psnr"])
