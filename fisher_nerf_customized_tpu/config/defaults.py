@@ -45,6 +45,11 @@ def get_cfg_defaults() -> ConfigNode:
         height_upper=1.3,
         height_lower=0.1,
         pcd_far_distance=7.0,
+        # directory of trained UPEN predictor-ensemble checkpoints
+        # (scripts/train_predictors.py member_*.pkl); "" = random init
+        # (reference loads its ensemble from --ensemble_dir,
+        # models/UPEN.py:34-48)
+        ensemble_dir="",
     ))
 
     cfg.planning_queue_size = 40

@@ -92,7 +92,9 @@ class ActiveMapper:
             self.upen = UPEN(options=None, cfg=cfg, seed=seed,
                              cell_size=float(cfg.explore.cell_size) * 2,
                              use_rrt=bool(cfg.policy.with_rrt_planning)
-                             or "rrt" in self.policy_name.lower())
+                             or "rrt" in self.policy_name.lower(),
+                             ensemble_dir=str(getattr(
+                                 cfg.policy, "ensemble_dir", "")) or None)
 
     # -- setup --------------------------------------------------------------
     def _init_episode(self):

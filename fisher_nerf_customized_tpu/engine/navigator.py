@@ -59,7 +59,11 @@ class FrontierNavigator:
             raise NoFrontierError("no actions compiled")
         self.queue.extend(actions)
 
-    def frontier_test_navigation(self, recon_gt_points=None) -> dict:
+    def frontier_test_navigation(self, recon_gt_points=None,
+                                 on_step=None) -> dict:
+        """on_step(obs, t): optional per-step observer — used by the UPEN
+        offline-dataset generator to record frontier-policy trajectories
+        (envs/offline_dataset.py)."""
         obs = self.sim.get_observations()
         c2w = obs["c2w"]
         self.planner.init(c2w, self.sim.intrinsics,
@@ -72,6 +76,8 @@ class FrontierNavigator:
         done_reason = "max_steps"
         while t < self.max_steps:
             c2w = obs["c2w"]
+            if on_step is not None:
+                on_step(obs, t)
             self.planner.update_occ_map(obs["depth"], c2w, t)
             self.global_pcl.add_frame(obs["depth"],
                                       self.sim.intrinsics, c2w,

@@ -63,10 +63,15 @@ def ego_grid_from_depth(depth: np.ndarray, intrinsics: np.ndarray,
 class UPEN:
     def __init__(self, options, cfg=None, n_members: int = 4, seed: int = 0,
                  grid_dim: tuple = (192, 192), crop: int = 64,
-                 cell_size: float = 0.1, use_rrt: bool = True):
+                 cell_size: float = 0.1, use_rrt: bool = True,
+                 ensemble_dir: str | None = None):
         self.options = options
         self.cfg = cfg
         self.ensemble = PredictorEnsemble(n_members=n_members, seed=seed)
+        if ensemble_dir:
+            # trained checkpoints from scripts/train_predictors.py
+            # (reference loads its ensemble ckpts, models/UPEN.py:34-48)
+            self.ensemble.load(ensemble_dir)
         self.sgrid = SemanticGrid(grid_dim=grid_dim, cell_size=cell_size)
         self.crop = crop
         self.cell_size = cell_size
@@ -109,8 +114,23 @@ class UPEN:
         occ_binary = (geo.argmax(axis=0) == 1).astype(np.uint8)
 
         if self.use_rrt:
-            rrt = RRTStar(start=tuple(agent),
-                          goal=tuple(agent + self.rng.uniform(-20, 20, 2)),
+            # RRT goal = the highest-information crop cell: ensemble
+            # disagreement weighted by the predicted unknown-class prob
+            # (the reference aims its RRT at ensemble-information maxima,
+            # models/UPEN.py:111-160 — a uniform-random goal only lets
+            # disagreement rescore LOCAL paths, which measurably collapses
+            # to random-walk coverage).  Cells nearer than min_goal_cells
+            # are suppressed so the goal actually pulls exploration.
+            ch, cw = uncertainty.shape
+            yy, xx = np.mgrid[0:ch, 0:cw]
+            dist = np.hypot(xx - cw / 2, yy - ch / 2)
+            info = uncertainty * (0.25 + mean_pred[0]) \
+                * (dist >= min(10.0, cw / 4))
+            iy, ix = np.unravel_index(int(np.argmax(info)), info.shape)
+            goal = agent + np.array([ix - cw / 2, iy - ch / 2], np.float64)
+            if not np.isfinite(info[iy, ix]) or info[iy, ix] <= 0:
+                goal = agent + self.rng.uniform(-20, 20, 2)
+            rrt = RRTStar(start=tuple(agent), goal=tuple(goal),
                           occupancy_map=occ_binary,
                           rand_area=(0, min(gh, gw) - 1),
                           expand_dis=6.0, max_iter=200,

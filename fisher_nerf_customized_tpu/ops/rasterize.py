@@ -315,3 +315,23 @@ def _bppb_bwd(st, res, cotangents):
 
 
 blend_packed_pallas_bwd.defvjp(_bppb_fwd, _bppb_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "settings", "deg"))
+def render_sh(camera: Camera, means_world, w2c, scales, quats, opacities,
+              sh, deg: int = 3, bg=None, active=None,
+              settings: RenderSettings = RenderSettings()):
+    """Render with view-dependent SH colors (deg 0..3).
+
+    The CUDA kernel evaluates SH inside its per-Gaussian preprocess when
+    colors_precomp is absent (forward.cu:241-247); here the SH preamble
+    (ops/sh.py) and the world->cam transform live in the SAME jit so XLA
+    fuses them into the render program — the fusion the CUDA code does by
+    hand.  sh: (N, M, 3) with M >= (deg+1)^2."""
+    from .sh import sh_to_rgb
+    c2w_rot = w2c[:3, :3].T                       # R^-1 = R^T
+    campos = -(c2w_rot @ w2c[:3, 3])              # world camera center
+    colors = sh_to_rgb(sh, means_world, campos, deg=deg)
+    means_cam = means_world @ w2c[:3, :3].T + w2c[:3, 3]
+    return render(camera, means_cam, scales, quats, opacities, colors,
+                  bg=bg, active=active, settings=settings)

@@ -98,6 +98,9 @@ def run_policy(policy: str, steps: int, frames_per_iter: int = 1,
     t0 = time.perf_counter()
     result = mapper.test_navigation(n_eval_poses=0, recon_gt_points=gt)
     wall = time.perf_counter() - t0
+    # full per-step completeness curve for scripts/compare_curves.py
+    mapper.metrics.dump(os.path.join(mapper.eval_dir,
+                                     "metrics_curve.yaml"))
     ev = eval_navigation(mapper.slam, mapper.sim, scene, n_poses=60,
                          seed=42)
     from fisher_nerf_customized_tpu.engine.eval import (

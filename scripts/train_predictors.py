@@ -32,6 +32,11 @@ def main():
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dataset_percentage", type=float, default=0.9)
+    p.add_argument("--traj_policy", default="frontier",
+                   choices=("frontier", "random"),
+                   help="recording policy for the offline episodes; "
+                        "frontier (default) matches the reference's "
+                        "goal-directed coverage trajectories")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -49,7 +54,7 @@ def main():
         inputs, labels = generate_offline_dataset(
             cam, n_scenes=args.n_scenes,
             steps_per_scene=args.steps_per_scene, grid_dim=args.grid_dim,
-            seed=args.seed)
+            seed=args.seed, traj_policy=args.traj_policy)
         save_dataset(os.path.join(args.out_dir, "offline_dataset.npz"),
                      inputs, labels)
 

@@ -106,10 +106,32 @@ def test_offline_dataset_generation():
     cam = Camera(fx=24.0, fy=24.0, cx=24.0, cy=24.0, width=48, height=48)
     inputs, labels = generate_offline_dataset(cam, n_scenes=1,
                                               steps_per_scene=3,
-                                              grid_dim=32)
+                                              grid_dim=32,
+                                              traj_policy="random")
     assert inputs.shape == (3, 32, 32, 3)
     assert labels.shape == (3, 32, 32)
     assert set(np.unique(labels)).issubset({0, 1, 2})
+    # frontier trajectories (default; reference trains on goal-directed
+    # pointnav episodes, dataloader.py:277-376)
+    f_in, f_lb = generate_offline_dataset(cam, n_scenes=1,
+                                          steps_per_scene=6, grid_dim=32,
+                                          traj_policy="frontier")
+    assert f_in.shape[1:] == (32, 32, 3) and 1 <= len(f_in) <= 6
+    assert f_lb.shape[1:] == (32, 32)
+
+
+def test_upen_loads_trained_ensemble(tmp_path):
+    from fisher_nerf_customized_tpu.models.predictors import (
+        PredictorEnsemble)
+    from fisher_nerf_customized_tpu.models.upen import UPEN
+    src = PredictorEnsemble(n_members=2, seed=123)
+    src.save(str(tmp_path))
+    pol = UPEN(options=None, n_members=2, seed=0,
+               ensemble_dir=str(tmp_path))
+    x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(src.predict(x)[0]),
+                               np.asarray(pol.ensemble.predict(x)[0]),
+                               atol=1e-6)
 
 
 def test_slam_legacy_planning_api(tmp_path):
