@@ -57,7 +57,7 @@ def build():
     cfg.path_end_weight = 30.0
     cfg.tpu.capacity = 32768
     cfg.tpu.pose_chunk = 32
-    cfg.tpu.mapping_frames_per_iter = 2
+    cfg.tpu.mapping_frames_per_iter = 4
     # ad-hoc overrides for A/B runs: BENCH_SET="tpu.pipeline_planning=True"
     import ast
     import os

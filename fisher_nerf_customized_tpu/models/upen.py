@@ -114,28 +114,34 @@ class UPEN:
         occ_binary = (geo.argmax(axis=0) == 1).astype(np.uint8)
 
         if self.use_rrt:
-            # RRT goal = the highest-information crop cell: ensemble
-            # disagreement weighted by the predicted unknown-class prob
-            # (the reference aims its RRT at ensemble-information maxima,
-            # models/UPEN.py:111-160 — a uniform-random goal only lets
-            # disagreement rescore LOCAL paths, which measurably collapses
-            # to random-walk coverage).  Cells nearer than min_goal_cells
-            # are suppressed so the goal actually pulls exploration.
+            # RRT goal sampled ∝ info² over the crop, where info =
+            # ensemble disagreement x predicted unknown-class prob (the
+            # reference aims its RRT at ensemble-information maxima,
+            # models/UPEN.py:111-160).  STOCHASTIC sampling, not argmax: a
+            # deterministic max-info goal fixates on one (often
+            # unreachable) cell across replans and measurably degrades
+            # coverage (round-3 A/B: argmax 45.2% cov2d vs random-goal
+            # 54.0%); sampling keeps the pull toward information while
+            # breaking fixation.  Near cells are suppressed so the goal
+            # actually moves the agent.
             ch, cw = uncertainty.shape
             yy, xx = np.mgrid[0:ch, 0:cw]
             dist = np.hypot(xx - cw / 2, yy - ch / 2)
             info = uncertainty * (0.25 + mean_pred[0]) \
                 * (dist >= min(10.0, cw / 4))
-            iy, ix = np.unravel_index(int(np.argmax(info)), info.shape)
-            goal = agent + np.array([ix - cw / 2, iy - ch / 2], np.float64)
-            if not np.isfinite(info[iy, ix]) or info[iy, ix] <= 0:
-                goal = agent + self.rng.uniform(-20, 20, 2)
+            w = (info.reshape(-1) ** 2).astype(np.float64)
+            goal = agent + self.rng.uniform(-20, 20, 2)
+            if np.isfinite(w).all() and w.sum() > 0:
+                cell = int(self.rng.choice(len(w), p=w / w.sum()))
+                iy, ix = np.unravel_index(cell, info.shape)
+                goal = agent + np.array([ix - cw / 2, iy - ch / 2],
+                                        np.float64)
             rrt = RRTStar(start=tuple(agent), goal=tuple(goal),
                           occupancy_map=occ_binary,
                           rand_area=(0, min(gh, gw) - 1),
-                          expand_dis=6.0, max_iter=200,
+                          expand_dis=6.0, max_iter=300,
                           search_until_max_iter=True, rng=self.rng)
-            paths = rrt.planning(exploration=True, horizon=3)
+            paths = rrt.planning(exploration=True, horizon=5)
             if paths:
                 # score by summed ensemble disagreement along each path
                 # (crop-local uncertainty resampled at path cells)

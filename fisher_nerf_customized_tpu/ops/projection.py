@@ -15,6 +15,8 @@ Gaussian array.  Differences from the CUDA version are deliberate:
 """
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -219,3 +221,21 @@ def preprocess(means_cam, scales, quats, camera: Camera,
 
     return Preprocessed(mean2d=mean2d, conic=conic, cov2d=cov2d,
                         depth=z, radius=radius, valid=valid)
+
+
+@jax.jit
+def mark_visible(means_world, w2c):
+    """Standalone frustum-visibility test WITHOUT rendering — the
+    reference rasterizer's third binding (`markVisible`,
+    rasterizer_impl.cu markVisible -> checkFrustum -> in_frustum,
+    auxiliary.h:139-161; exposed at diff_gaussian_rasterization
+    __init__.py:159).  The CUDA test reduces to `z_view > 0.001` (the
+    NDC bounds check is commented out upstream); matched exactly here.
+
+    Args:
+      means_world: (N, 3) world-frame centers.
+      w2c:         (4, 4) world->camera.
+    Returns (N,) bool.
+    """
+    z = means_world @ w2c[2, :3] + w2c[2, 3]
+    return z > 0.001

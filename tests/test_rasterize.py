@@ -253,3 +253,21 @@ def test_pallas_blend_backward_matches_ad(monkeypatch):
         scale = max(np.abs(a).max(), 1e-12)
         np.testing.assert_allclose(b, a, rtol=2e-2,
                                    atol=1e-6 * scale + 1e-10)
+
+
+def test_mark_visible_frustum_semantics():
+    """markVisible parity: pure z_view > 0.001 test (reference
+    auxiliary.h:139-161 in_frustum — the NDC bound check is commented
+    out upstream), no render needed."""
+    import jax.numpy as jnp
+
+    from fisher_nerf_customized_tpu.ops.projection import mark_visible
+    w2c = np.eye(4, dtype=np.float32)
+    pts = np.array([[0, 0, 1.0], [0, 0, -1.0], [0, 0, 0.0005],
+                    [100, 100, 5.0]], np.float32)   # off-screen but z>0
+    vis = np.asarray(mark_visible(jnp.asarray(pts), jnp.asarray(w2c)))
+    assert vis.tolist() == [True, False, False, True]
+    # respects the view transform: camera looking -z sees the -z point
+    w2c_flip = np.diag([1.0, 1.0, -1.0, 1.0]).astype(np.float32)
+    vis2 = np.asarray(mark_visible(jnp.asarray(pts), jnp.asarray(w2c_flip)))
+    assert vis2.tolist() == [False, True, False, False]
