@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_data", action="store_true")
     # object branch flags (reference main.py:32-47 object_scene /
     # dynamic_scene / known_env)
+    p.add_argument("--ensemble_dir", default=None,
+                   help="trained UPEN predictor-ensemble checkpoints "
+                        "(scripts/train_predictors.py output); overrides "
+                        "policy.ensemble_dir")
     p.add_argument("--object_scene", action="store_true")
     p.add_argument("--dynamic_scene", action="store_true")
     p.add_argument("--known_env", action="store_true",
@@ -69,6 +73,8 @@ def load_config(args):
             width=args.img_size, height=args.img_size,
             fx=args.img_size / 2, fy=args.img_size / 2,
             cx=args.img_size / 2, cy=args.img_size / 2))
+    if getattr(args, "ensemble_dir", None):
+        cfg.policy.ensemble_dir = args.ensemble_dir
     if args.debug:
         cfg.mapping.num_iters = min(int(cfg.mapping.num_iters), 10)
         cfg.num_frames = min(int(cfg.num_frames), 40)

@@ -6,6 +6,12 @@
 # QUALITY.md ("Round-2 hardware gates").  Keep this as the regression
 # runbook: re-run after any kernel/default change on hardware.
 #
+# NOTE (round 3): the Pallas lowering + XLA-twin parity gate is now
+# AUTOMATED — bench.py runs it first on every invocation and exits(3)
+# with a named error if a kernel fails to lower or diverges (see
+# bench.py _kernel_gate).  This runbook remains for the broader gates
+# (quality episodes, object branch, A/Bs).
+#
 # Each gate appends its JSON/log to $OUT.  Safe to re-run; every stage
 # is independently skippable with Ctrl-C and bounded by a timeout.
 set -u

@@ -130,6 +130,10 @@ def run_policy(policy: str, steps: int, frames_per_iter: int = 1,
         tm = result.get("timing", {}).get("object_tracking")
         if tm:
             row["object_tracking_ms"] = round(tm["mean_ms"], 1)
+    row["phase_totals_s"] = {
+        k: round(v["total_s"], 1) for k, v in sorted(
+            result.get("timing", {}).items(),
+            key=lambda kv: -kv[1]["total_s"])[:8]}
     return row
 
 
