@@ -151,7 +151,16 @@ class ActiveMapper:
                 jnp.asarray(obs["c2w"]))
             return np.asarray(mask)
         if "semantic" in obs:
-            return np.asarray(obs["semantic"]) > 0
+            sem = np.asarray(obs["semantic"])
+            obj = getattr(self.sim, "dynamic_object", None)
+            if obj is not None and getattr(obj, "semantic_id", None) is not None:
+                # the reference masks the SPAWNED object's instance id
+                # (tester:719 semantic == sim_obj.get_semantic_id()); a
+                # real habitat semantic sensor labels every scene pixel
+                # with an instance id, so `> 0` would select the whole
+                # frame there
+                return sem == int(obj.semantic_id)
+            return sem > 0
         return None
 
     def _accumulate_object_pcl(self, obs, mask):
@@ -629,7 +638,8 @@ class ActiveMapper:
                     # against the dense GLB model cloud
                     gt_obj = self.sim.dynamic_object.sample_surface_points(
                         20000, frame="object")
-                    self.record_object_metrics(t, gt_obj)
+                    if gt_obj is not None:   # object spawned without a
+                        self.record_object_metrics(t, gt_obj)  # GT cloud
             if self.habvis is not None:
                 with self.timer.phase("habvis"):
                     self.habvis.update_fow_sim(obs["c2w"])

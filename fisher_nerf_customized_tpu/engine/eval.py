@@ -233,6 +233,11 @@ def eval_nvs(slam, frames, eval_every: int = 1, sil_thres: float = 0.5,
                                jnp.asarray(gt_rgb * m3)))
         nv = max(int(valid_depth.sum()), 1)
         diff = (rdepth - gt_depth) * valid_depth
+        # DELIBERATE deviation: depth_rmse here is a true RMSE
+        # (sqrt of the mean squared diff).  The reference's "rmse" is
+        # elementwise sqrt(diff^2) summed/count (eval_helpers.py:744-746),
+        # which is numerically identical to its depth L1 — compare
+        # reference rmse logs against depth_l1 below, not depth_rmse.
         per_frame.append(dict(
             frame=test_idx, psnr=psnr, ssim=ssim, lpips_proxy=lp,
             depth_rmse=float(np.sqrt((diff ** 2).sum() / nv)),

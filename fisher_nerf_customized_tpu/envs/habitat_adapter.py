@@ -341,11 +341,13 @@ class HabitatSimObject:
         return T
 
     def sample_surface_points(self, n: int, rng=None,
-                              frame: str = "world") -> np.ndarray:
+                              frame: str = "world") -> np.ndarray | None:
+        """GT cloud sample, or None when the object was spawned without
+        one (e.g. `--sim habitat --object_scene` from the CLI) — callers
+        skip the object-completeness metric rather than crash mid-episode
+        (the reference always has the glb to sample, tester:342-351)."""
         if self._gt_points is None:
-            raise RuntimeError(
-                "HabitatSimObject has no GT point cloud: pass gt_points "
-                "(the reference samples the object glb, tester:342-351)")
+            return None
         rng = rng or np.random.default_rng(0)
         idx = rng.choice(len(self._gt_points), size=n,
                          replace=n > len(self._gt_points))
@@ -535,8 +537,17 @@ class HabitatSim:
 
     def render_at(self, c2w):
         """(rgb [0,1] float, depth meters) at an arbitrary pose, agent
-        state restored afterwards (the reference's eval loop teleports,
-        renders, and continues the episode — tester:1396-1529)."""
+        state restored afterwards.
+
+        State-restore contract: the reference's eval loop teleports with
+        set_agent_state (test_utils.py:63-123, called per eval pose at
+        tester:1428-1430), renders, and then continues the EPISODE from
+        the pre-eval pose — it can do so because eval runs at episode end
+        / with slam paused (tester:1396-1529).  Here eval interleaves
+        with live episodes (checkpoint-time eval), so the full agent
+        state (position + rotation + sensor states) is snapshotted and
+        restored around every render; a drift here would corrupt the
+        episode's subsequent odometry."""
         import copy
         sim = self._env.sim
         snapshot = copy.deepcopy(sim.get_agent_state())
