@@ -386,6 +386,56 @@ def _mfu_extras(mapper, raster_fps, ms_per_pose, raster_args):
     return out
 
 
+def _load_prev_artifact():
+    """Parse the newest BENCH_r*.json the driver recorded (its `tail`
+    holds this script's JSON line).  Returns the decoded dict or None.
+    Used for (a) the RELATIVE slow-tunnel retry trigger and (b) the
+    per-phase regression guard — VERDICT r3 weak #1: a real path_eig
+    regression shipped silently because the retry only fired below an
+    absolute 2.5 steps/s and nothing compared phases round-over-round."""
+    import glob
+    import os
+    import re
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            tail = json.load(open(path)).get("tail", "")
+            for line in tail.splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    art = json.loads(line)
+                    if art.get("value", 0) > 0:
+                        art["_source"] = os.path.basename(path)
+                        return art
+        except (OSError, ValueError, KeyError):
+            continue
+    return None
+
+
+def _phase_regressions(phases: dict, prev_phases: dict,
+                       min_abs_s: float = 0.5):
+    """Named per-phase regressions vs the previous artifact: any phase
+    whose share of the episode's accounted time grew >1.5x its prior
+    share (and by >min_abs_s absolute) is flagged.  Shares, not raw
+    seconds, so a uniformly slower tunnel window doesn't flag every
+    phase; min_abs_s keeps sub-second noise out."""
+    out = {}
+    tot = sum(phases.values()) or 1.0
+    prev_tot = sum(prev_phases.values()) or 1.0
+    for name, secs in phases.items():
+        prev = prev_phases.get(name)
+        if prev is None or prev <= 0:
+            continue
+        share, prev_share = secs / tot, prev / prev_tot
+        if share > 1.5 * prev_share and secs - prev > min_abs_s:
+            out[name] = dict(total_s=round(secs, 3),
+                             prev_total_s=round(prev, 3),
+                             share=round(share, 4),
+                             prev_share=round(prev_share, 4))
+    return out
+
+
 def _probe_backend(timeout_s: float = 120.0) -> bool:
     """Fail fast if the device backend is unreachable (a wedged TPU
     tunnel makes jax backend init block FOREVER, which would hang the
@@ -432,13 +482,21 @@ def main():
     # segment measured as the MEDIAN of 3 chunk rates — one tunnel-latency
     # stall cannot sink the whole artifact (VERDICT r1 "weak" #1)
     t_start = time.perf_counter()
+    prev_art = _load_prev_artifact()
+    prev_value = float(prev_art["value"]) if prev_art else None
     rtt_before = _probe_rtt()
     run1 = _run_episode()
     rtt_after = _probe_rtt()
     steps_per_sec, chunk_rates = run1[0], run1[1]
     retried = None
-    slow_tunnel = (steps_per_sec < 2.5
-                   and max(rtt_before, rtt_after) > 5.0)
+    # relative trigger (VERDICT r3 weak #1): a 24 ms tunnel window sank
+    # r3 to 5.1 vs r2's 5.8 and the absolute <2.5 gate never fired —
+    # retry whenever the tunnel is demonstrably slow AND the rate fell
+    # below 0.9x the previous recorded artifact
+    slow_tunnel = (max(rtt_before, rtt_after) > 5.0
+                   and (steps_per_sec < 2.5
+                        or (prev_value is not None
+                            and steps_per_sec < 0.9 * prev_value)))
     # ascending chunk rates (last >> first) mean the measured segment was
     # contaminated by residual XLA compiles — the persistent cache was
     # cold (fresh container).  The run itself just warmed it, so one
@@ -477,6 +535,18 @@ def main():
     from fisher_nerf_customized_tpu.engine.eval import coverage_percentage
     cov = coverage_percentage(gt, mapper.global_pcl.get(), 0.05)
 
+    phase_totals = {k: v["total_s"]
+                    for k, v in sorted(timing.items(),
+                                       key=lambda kv: -kv[1]["total_s"])}
+    regressions = {}
+    if prev_art is not None:
+        prev_extras = prev_art.get("extras", {})
+        regressions = _phase_regressions(
+            phase_totals, prev_extras.get("phase_totals_s", {}))
+        if prev_value and steps_per_sec < 0.9 * prev_value:
+            regressions["steps_per_sec"] = dict(
+                value=round(float(steps_per_sec), 3), prev=prev_value)
+
     print(json.dumps(dict(
         metric="active_mapping_steps_per_sec",
         value=round(float(steps_per_sec), 3),
@@ -498,20 +568,27 @@ def main():
             mfu=mfu,
             kernel_gate=kernel_gate,
             tunnel_rtt_ms=[round(rtt_before, 2), round(rtt_after, 2)],
-            retry_info=(
+            retry_info=(retry_info := (
                 dict(reason=retried,
                      first_rate=round(first[0], 3),
                      first_chunks=[round(r, 3) for r in first[1]],
                      first_rtt_ms=[round(first[2], 2), round(first[3], 2)])
-                if retried else None),
+                if retried else None)),
+            # legacy alias for retry_info — the r2 artifact schema used
+            # this name; kept so round-over-round comparisons keep working
+            slow_tunnel_retry=retry_info,
+            # named round-over-round regressions (empty = clean): any
+            # phase whose share of accounted time grew >1.5x vs the
+            # previous BENCH artifact, plus the headline rate if <0.9x
+            regressions=regressions,
+            prev_artifact=(dict(source=prev_art["_source"],
+                                value=prev_value)
+                           if prev_art else None),
             wall_s=round(time.perf_counter() - t_start, 1),
             # full per-phase breakdown (total seconds over the episode):
             # attributes the residual per-step time beyond the two event
             # phases (sim stepping, occupancy, pcl bookkeeping, ...)
-            phase_totals_s={k: v["total_s"]
-                            for k, v in sorted(
-                                timing.items(),
-                                key=lambda kv: -kv[1]["total_s"])},
+            phase_totals_s=phase_totals,
             baseline_note="vs documented estimate 0.5 steps/s (reference "
                           "publishes no throughput numbers)",
         ))))
