@@ -166,7 +166,11 @@ def _run_episode():
     chunk_rates = []
     if len(ts) > warmup_steps + 12:
         steady = ts[warmup_steps:]
-        n_chunks = 3
+        # median of 5 (was 3): the tunnel injects multi-second stalls at
+        # random points (r4 probes: same code measured 4.7 and 6.1 within
+        # an hour, a different phase inflated each time); with 5 chunks a
+        # single stall window sinks at most two chunks, not the median
+        n_chunks = 5
         edges = np.linspace(0, len(steady) - 1, n_chunks + 1).astype(int)
         for a, b in zip(edges[:-1], edges[1:]):
             if b > a:

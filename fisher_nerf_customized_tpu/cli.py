@@ -106,7 +106,14 @@ def make_sim(args, cfg, scene_id: str):
     # would make the procedural scene irreproducible from the scene id)
     import zlib
     seed = zlib.crc32(scene_id.encode()) % (2 ** 31)
-    scene = BoxScene.default(seed=seed)
+    # `fake_apartment_*` ids select the multi-room procedural generator
+    # (doorway-gated rooms, fresh frontiers past step 1500 — the
+    # non-saturating scene for the 2000-step blessed protocol); any other
+    # id keeps the single-room default
+    if scene_id.startswith("fake_apartment"):
+        scene = BoxScene.multi_room(seed=seed)
+    else:
+        scene = BoxScene.default(seed=seed)
     obj = None
     if getattr(args, "object_scene", False):
         obj = SimObject(scene, semantic_id=100, size=(0.4, 1.2, 0.4),

@@ -272,6 +272,16 @@ def get_cfg_defaults() -> ConfigNode:
                                    # 131.8/142.7 s (xla), identical
                                    # quality (AUC 61.35/61.36)
         hutchinson_probes=8,
+        object_h_train_window=64,  # keyframe budget per object planning
+                                   # event: H_train sums a strided
+                                   # subsample of W keyframes spanning
+                                   # the whole history, scaled by K/W
+                                   # (0 = exact full sum, the reference's
+                                   # O(K)-per-event behavior,
+                                   # gaussian_object.py:1553-1585).
+                                   # Ranking-equivalence gate:
+                                   # tests/test_object_slam.py Spearman
+                                   # >= 0.95 vs exact
         mesh_axes=dict(data=1, model=1),
         near=0.01,
         far=100.0,

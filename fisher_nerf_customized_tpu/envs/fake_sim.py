@@ -58,6 +58,84 @@ class BoxScene:
         return BoxScene(room_lo=(-room, 0.0, -room), room_hi=(room, 2.5, room),
                         obstacles=obstacles)
 
+    @staticmethod
+    def multi_room(seed: int = 0, rooms_x: int = 3, rooms_z: int = 3,
+                   room: float = 4.0, door: float = 1.0,
+                   wall_t: float = 0.12, height: float = 2.5,
+                   clutter_per_room: int = 2) -> "BoxScene":
+        """Procedural multi-room apartment: a rooms_x x rooms_z grid of
+        `room`-sized rooms separated by interior walls with one doorway
+        per shared edge, plus per-room clutter boxes and half-height
+        occluders.
+
+        Purpose (VERDICT r3 next-#3): the single-box default() saturates
+        (~29k Gaussians, frontier exhausted ~step 532), so the late-
+        episode regime of the reference's blessed 2000-step protocol
+        (BASELINE configs[3,4]; ref tester:1372-1491) was unreachable.
+        Doorway-gated rooms keep fresh frontiers alive deep into the
+        episode and multiply wall surface (>=60k Gaussians at 3x3).
+        The agent spawns at the CENTER room's center (the grid is
+        origin-centered with odd-preferred layouts); every room is
+        reachable through the doorway graph
+        (tests/test_fake_sim.py::test_multi_room_connectivity)."""
+        rng = np.random.default_rng(seed)
+        wx = rooms_x * room / 2.0
+        wz = rooms_z * room / 2.0
+        # shift so that one room's center is the origin (spawn point)
+        ox = (room / 2.0) if rooms_x % 2 == 0 else 0.0
+        oz = (room / 2.0) if rooms_z % 2 == 0 else 0.0
+        obstacles = []
+
+        def x_of(i):   # interior boundary i in [1, rooms_x-1]
+            return -wx + i * room + ox
+
+        def z_of(j):
+            return -wz + j * room + oz
+
+        # interior walls normal to x: one door per room cell they border
+        for i in range(1, rooms_x):
+            x = x_of(i)
+            for j in range(rooms_z):
+                z0, z1 = -wz + j * room + oz, -wz + (j + 1) * room + oz
+                dz = rng.uniform(z0 + 0.6, z1 - 0.6 - door)
+                if dz - z0 > 0.05:
+                    obstacles.append(((x - wall_t / 2, 0.0, z0),
+                                      (x + wall_t / 2, height, dz)))
+                if z1 - (dz + door) > 0.05:
+                    obstacles.append(((x - wall_t / 2, 0.0, dz + door),
+                                      (x + wall_t / 2, height, z1)))
+        # interior walls normal to z
+        for j in range(1, rooms_z):
+            z = z_of(j)
+            for i in range(rooms_x):
+                x0, x1 = -wx + i * room + ox, -wx + (i + 1) * room + ox
+                dx = rng.uniform(x0 + 0.6, x1 - 0.6 - door)
+                if dx - x0 > 0.05:
+                    obstacles.append(((x0, 0.0, z - wall_t / 2),
+                                      (dx, height, z + wall_t / 2)))
+                if x1 - (dx + door) > 0.05:
+                    obstacles.append(((dx + door, 0.0, z - wall_t / 2),
+                                      (x1, height, z + wall_t / 2)))
+        # per-room clutter (tall boxes + half-height occluders), kept off
+        # walls/doorways by a margin and out of the spawn room's center
+        for i in range(rooms_x):
+            for j in range(rooms_z):
+                cx0 = -wx + i * room + ox + 1.0
+                cz0 = -wz + j * room + oz + 1.0
+                for _ in range(clutter_per_room):
+                    cx = rng.uniform(cx0, cx0 + room - 2.0)
+                    cz = rng.uniform(cz0, cz0 + room - 2.0)
+                    if abs(cx) < 1.0 and abs(cz) < 1.0:
+                        continue                    # spawn area clear
+                    sx, sz = rng.uniform(0.2, 0.55, 2)
+                    sy = rng.uniform(0.5, 1.1) if rng.uniform() < 0.5 \
+                        else rng.uniform(1.4, 2.2)
+                    obstacles.append(((cx - sx, 0.0, cz - sz),
+                                      (cx + sx, sy, cz + sz)))
+        return BoxScene(room_lo=(-wx + ox, 0.0, -wz + oz),
+                        room_hi=(wx + ox, height, wz + oz),
+                        obstacles=obstacles)
+
     def boxes(self) -> _Boxes:
         los = [np.asarray(self.room_lo, np.float32)]
         his = [np.asarray(self.room_hi, np.float32)]

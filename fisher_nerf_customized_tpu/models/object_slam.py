@@ -286,6 +286,17 @@ class GaussianObjectSLAM(GaussianSLAM):
         # makes the incremental H_train top-up equal a full recompute
         self._kf_base_key = jax.random.PRNGKey(self.start_frame_idx + 7919)
         self.obj_pose_chunk = int(cfg.tpu.get("object_pose_chunk", 8))
+        # H_train keyframe budget per planning event (0 = exact full sum).
+        # The reference recomputes the FULL keyframe sum every planning
+        # event (gaussian_object.py:1553-1585), O(K) with K growing ~400
+        # by step 1000; since mapping bumps _param_version every
+        # map_obj_every=2 steps, the cache never survives an event and
+        # object planning cost grows linearly with episode length.  A
+        # strided subsample of W keyframes spanning the WHOLE history
+        # (scaled by K/W) keeps the prior's coverage and magnitude while
+        # bounding each event at O(W) — candidate rankings match the
+        # exact prior (Spearman gate in tests/test_object_slam.py).
+        self.h_train_window = int(cfg.tpu.get("object_h_train_window", 64))
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -525,18 +536,50 @@ class GaussianObjectSLAM(GaussianSLAM):
             h = h + jnp.sum(hh[:n_real], axis=0)
         return h
 
+    def _h_train_kf_ids(self) -> list[int]:
+        """Keyframe ids contributing to the H_train prior this event: all
+        of them in exact mode, else `h_train_window` ids evenly strided
+        across the WHOLE history (always including first + latest).  A
+        stride — not a recency window — keeps every orbit segment's
+        coverage in the prior, which is what makes candidate rankings
+        track the exact sum (Spearman gate in tests/test_object_slam.py)."""
+        n_kf = len(self.keyframes)
+        w = self.h_train_window
+        if not w or n_kf <= w:
+            return list(range(n_kf))
+        return sorted(set(np.round(
+            np.linspace(0, n_kf - 1, w)).astype(int).tolist()))
+
     def compute_H_train_obj(self, n_probes: int | None = None):
         """Σ over keyframes of the (N, 11) Hutchinson Hessian.  Cached per
         (keyframe-set, param-version); when only keyframes were APPENDED
         the cache is topped up with the new frames' terms — identical to a
-        full recompute because per-keyframe probe keys are fold_in(kf_id)."""
+        full recompute because per-keyframe probe keys are fold_in(kf_id).
+
+        With `h_train_window` set (default) and more keyframes than the
+        window, the sum runs over a strided keyframe subsample scaled by
+        K/|ids| — an unbiased-coverage estimate of the exact prior that
+        bounds planning-event cost at O(W) where the reference pays O(K)
+        (gaussian_object.py:1553-1585 recomputes the full sum per event
+        because mapping invalidates any cache)."""
         n_probes = int(n_probes or self.hutch_probes)
+        ids = self._h_train_kf_ids()
+        n_kf = len(self.keyframes)
+        if len(ids) < n_kf:
+            key = self._h11_key(n_probes) + ("win", tuple(ids))
+            cached = getattr(self, "_h11_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            h = self._h11_over([self.keyframes.w2cs[i] for i in ids],
+                               ids, n_probes) * (n_kf / len(ids))
+            self._h11_cache = (key, h)
+            return h
         key = self._h11_key(n_probes)
         cached = getattr(self, "_h11_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        if cached is not None and cached[0][1:] == key[1:] \
-                and cached[0][0] < key[0]:
+        if cached is not None and len(cached[0]) == len(key) \
+                and cached[0][1:] == key[1:] and cached[0][0] < key[0]:
             new_ids = list(range(cached[0][0], len(self.keyframes)))
             h = cached[1] + self._h11_over(
                 [self.keyframes.w2cs[i] for i in new_ids], new_ids, n_probes)
@@ -619,19 +662,22 @@ class GaussianObjectSLAM(GaussianSLAM):
         # fixed-capacity layout makes the reference's visible-set
         # intersection a plain index mask); cached per
         # (keyframe-set, param-version) like the diag H_train
-        key = self._h11_key(K) + ("blocks",)
+        ids = self._h_train_kf_ids()   # strided subsample past the window
+        key = self._h11_key(K) + ("blocks", tuple(ids))
         cached = getattr(self, "_blocks_cache", None)
         if cached is not None and cached[0] == key:
             h_blocks, train_vis = cached[1]
         else:
             h_blocks, train_vis = None, None
-            for w2c in self.keyframes.w2cs:
-                b, vis = self._blocks_full(w2c, K)
+            for i in ids:
+                b, vis = self._blocks_full(self.keyframes.w2cs[i], K)
                 h_blocks = b if h_blocks is None else h_blocks + b
                 train_vis = vis if train_vis is None else (train_vis | vis)
             if h_blocks is None:
                 raise RuntimeError(
                     "No keyframes available for POP-GS blocks.")
+            if len(ids) < len(self.keyframes):
+                h_blocks = h_blocks * (len(self.keyframes) / len(ids))
             self._blocks_cache = (key, (h_blocks, train_vis))
         if criterion.lower() not in ("topt", "dopt"):
             raise ValueError("criterion must be 'topt' or 'dopt'")

@@ -109,3 +109,62 @@ def test_prefetch_mismatched_action_falls_back():
     ob = sim_b.step(2)
     np.testing.assert_allclose(oa["c2w"], ob["c2w"], atol=1e-6)
     np.testing.assert_allclose(oa["depth"], ob["depth"], atol=1e-5)
+
+
+def test_multi_room_connectivity():
+    """Every room center of the multi-room generator is reachable from
+    the spawn (0,0) through the doorway graph, and the scene offers far
+    more surface than the single-room default (the non-saturating bench
+    scene, VERDICT r3 next-#3)."""
+    from collections import deque
+    from fisher_nerf_customized_tpu.envs.fake_sim import BoxScene
+    for seed in (0, 7, 123):
+        scene = BoxScene.multi_room(seed=seed, rooms_x=3, rooms_z=3)
+        assert scene.is_navigable((0.0, 0.0, 0.0)), seed
+        # BFS flood fill over a 0.2 m grid of navigable cells
+        step = 0.2
+        lo, hi = scene.room_lo, scene.room_hi
+        nx = int((hi[0] - lo[0]) / step) + 1
+        nz = int((hi[2] - lo[2]) / step) + 1
+        def cell(x, z):
+            return (int(round((x - lo[0]) / step)),
+                    int(round((z - lo[2]) / step)))
+        def xz(c):
+            return (lo[0] + c[0] * step, lo[2] + c[1] * step)
+        start = cell(0.0, 0.0)
+        seen = {start}
+        q = deque([start])
+        while q:
+            c = q.popleft()
+            for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                n = (c[0] + d[0], c[1] + d[1])
+                if n in seen or not (0 <= n[0] < nx and 0 <= n[1] < nz):
+                    continue
+                x, z = xz(n)
+                if scene.is_navigable((x, 0.0, z)):
+                    seen.add(n)
+                    q.append(n)
+        # each room center reachable (within a grid cell)
+        room = 4.0
+        wx, wz = 3 * room / 2, 3 * room / 2
+        for i in range(3):
+            for j in range(3):
+                cx = -wx + (i + 0.5) * room
+                cz = -wz + (j + 0.5) * room
+                # clutter may sit on the exact center; accept any seen
+                # cell within 0.8 m of it
+                near = any(abs(xz(c)[0] - cx) < 0.8 and abs(xz(c)[1] - cz) < 0.8
+                           for c in seen)
+                assert near, (seed, i, j)
+        # surface area: >= 2.5x the default single room's
+        pts_multi = scene.sample_surface_points(1000)
+        assert len(scene.obstacles) > 20
+        default = BoxScene.default(seed=0)
+        import numpy as _np
+        def total_area(s):
+            faces_area = 0.0
+            for lo_, hi_ in [(s.room_lo, s.room_hi)] + list(s.obstacles):
+                d = _np.asarray(hi_) - _np.asarray(lo_)
+                faces_area += 2 * (d[0]*d[1] + d[1]*d[2] + d[0]*d[2])
+            return faces_area
+        assert total_area(scene) > 2.5 * total_area(default)
