@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shrink init scans / iteration counts")
     # reference protocol: 2000 uniform navigable eval poses (tester:1372)
     p.add_argument("--eval_poses", type=int, default=2000)
+    p.add_argument("--eval_every", type=int, default=None,
+                   help="record a held-out PSNR/depth-MAE curve on a "
+                        "fixed pose set every N steps (cfg.eval_every)")
     p.add_argument("--save_data", action="store_true")
     # object branch flags (reference main.py:32-47 object_scene /
     # dynamic_scene / known_env)
@@ -75,6 +78,8 @@ def load_config(args):
             cx=args.img_size / 2, cy=args.img_size / 2))
     if getattr(args, "ensemble_dir", None):
         cfg.policy.ensemble_dir = args.ensemble_dir
+    if getattr(args, "eval_every", None) is not None:
+        cfg.eval_every = int(args.eval_every)
     if args.debug:
         cfg.mapping.num_iters = min(int(cfg.mapping.num_iters), 10)
         cfg.num_frames = min(int(cfg.num_frames), 40)

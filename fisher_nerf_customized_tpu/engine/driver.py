@@ -79,6 +79,7 @@ class ActiveMapper:
         self._plan_prep = None
         self._inc_recon = None
         self._pcl_cursor = 0
+        self._eval_curve = None
         self.step_log: list[dict] = []
         self.cm = get_cluster_manager()
         self.timer = StepTimer()
@@ -615,6 +616,22 @@ class ActiveMapper:
                         done_reason = "stuck"
                         break
 
+            # held-out PSNR/depth-MAE curve on a fixed seeded pose set
+            # (cfg.eval_every > 0 enables it; diagnoses late-episode map
+            # quality over time — VERDICT r3 weak #5)
+            ev_every = int(self.cfg.eval_every)
+            if (ev_every > 0 and t > 0 and t % ev_every == 0
+                    and self.scene is not None
+                    and hasattr(self.sim, "render_at")):
+                with self.timer.phase("eval_curve"):
+                    if self._eval_curve is None:
+                        from .eval import EvalPoseCurve
+                        self._eval_curve = EvalPoseCurve(
+                            self.scene, self.sim,
+                            cam_height=float(c2w[1, 3]))
+                    em = self._eval_curve.update(self.slam)
+                    self.metrics.record(t, **em)
+                    self.mlog.log(t, **em)
             if recon_gt_points is not None and t % 25 == 0:
                 with self.timer.phase("recon_metric"):
                     if self._inc_recon is None:

@@ -157,6 +157,39 @@ def eval_navigation(slam, sim, scene, n_poses: int = 2000,
     return agg
 
 
+class EvalPoseCurve:
+    """Held-out render quality vs episode step on a FIXED seeded pose set
+    (VERDICT r3 weak #5: the 1000-step PSNR sag was undiagnosable because
+    only episode-END evals existed — a per-step curve separates map-aging
+    /prune effects from eval-set hardness).  The pose set is sampled once
+    (same generator as the final eval protocol, seed 42) and the GT
+    renders cached on device, so each update renders the poses, computes
+    PSNR/depth-MAE on device, and pulls ONE scalar batch."""
+
+    def __init__(self, scene, sim, n_poses: int = 16,
+                 cam_height: float = 1.25, seed: int = 42):
+        self.poses = uniform_eval_poses(scene, n_poses, cam_height, seed)
+        gts = [sim.render_at(c2w) for c2w in self.poses]
+        self.gt_rgb = jnp.asarray(np.stack([g[0] for g in gts]))
+        self.gt_depth = jnp.asarray(np.stack([g[1] for g in gts]))
+
+    def update(self, slam) -> dict:
+        import jax
+
+        handles = [slam.render_at_pose(c2w) for c2w in self.poses]
+        rs = jnp.stack([h["render"] for h in handles])
+        ds = jnp.stack([h["depth"] for h in handles])
+        mse = jnp.mean((rs - self.gt_rgb) ** 2, axis=(1, 2, 3))
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        valid = self.gt_depth > 0
+        mae = (jnp.sum(jnp.abs(ds - self.gt_depth) * valid, axis=(1, 2))
+               / jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1))
+        psnr_h, mae_h = jax.device_get((psnr, mae))    # ONE pull
+        return dict(eval_psnr=float(np.mean(psnr_h)),
+                    eval_psnr_min=float(np.min(psnr_h)),
+                    eval_depth_mae=float(np.mean(mae_h)))
+
+
 def save_psnr_scatter(path: str, scene, poses: np.ndarray,
                       psnrs: np.ndarray, cell: float = 0.05):
     """Per-pose PSNR as a plasma-colored scatter on the GT top-down map
