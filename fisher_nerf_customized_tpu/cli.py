@@ -54,6 +54,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dynamic_scene", action="store_true")
     p.add_argument("--known_env", action="store_true",
                    help="discover objects via GT-cloud novelty masks")
+    # pretrained perceptual networks (models/perceptual.py); without
+    # weight paths the named offline substitutes run instead
+    p.add_argument("--lpips_weights", default=None,
+                   help="torch LPIPS(alex) checkpoint -> real `lpips` "
+                        "metric alongside lpips_proxy (ref tester:1491)")
+    p.add_argument("--dino_gate", action="store_true",
+                   help="enable the object-keyframe distinctiveness gate "
+                        "(histogram descriptors unless --dino_weights)")
+    p.add_argument("--dino_weights", default=None,
+                   help="DINO/DINOv2 ViT torch checkpoint for the object "
+                        "keyframe gate (implies --dino_gate)")
     return p
 
 
@@ -114,9 +125,16 @@ def make_sim(args, cfg, scene_id: str):
     # `fake_apartment_*` ids select the multi-room procedural generator
     # (doorway-gated rooms, fresh frontiers past step 1500 — the
     # non-saturating scene for the 2000-step blessed protocol); any other
-    # id keeps the single-room default
+    # id keeps the single-room default.  An optional `<X>x<Z>` grid size
+    # rides in the id (`fake_apartment7x7_0`): the default 3x3 saturates
+    # at ~410 steps / 27k Gaussians, 7x7 sustains frontiers past step
+    # 1500 and reaches the reference's 100k+ Gaussian regime
+    # (BASELINE.json configs[1] "~100K Gaussians").
     if scene_id.startswith("fake_apartment"):
-        scene = BoxScene.multi_room(seed=seed)
+        import re
+        m = re.match(r"fake_apartment(\d+)x(\d+)", scene_id)
+        rx, rz = (int(m.group(1)), int(m.group(2))) if m else (3, 3)
+        scene = BoxScene.multi_room(seed=seed, rooms_x=rx, rooms_z=rz)
     else:
         scene = BoxScene.default(seed=seed)
     obj = None
@@ -158,11 +176,17 @@ def main(argv=None):
             empty = BoxScene(room_lo=scene.room_lo, room_hi=scene.room_hi,
                              obstacles=scene.obstacles)
             known_env_points = empty.sample_surface_points(400000)
+        if getattr(args, "lpips_weights", None):
+            from .engine.eval import set_lpips_weights
+            set_lpips_weights(args.lpips_weights)
         mapper = ActiveMapper(cfg, sim, scene=scene, eval_dir=eval_dir,
                               seed=args.seed,
                               object_scene=args.object_scene,
                               dynamic_scene=args.dynamic_scene,
-                              known_env_points=known_env_points)
+                              known_env_points=known_env_points,
+                              dino_gate=getattr(args, "dino_gate", False),
+                              dino_weights=getattr(args, "dino_weights",
+                                                   None))
         if args.resume and args.checkpoint:
             mapper.resume(args.checkpoint)
         gt = scene.sample_surface_points(100000) if scene is not None else None

@@ -282,6 +282,12 @@ def get_cfg_defaults() -> ConfigNode:
                                    # Ranking-equivalence gate:
                                    # tests/test_object_slam.py Spearman
                                    # >= 0.95 vs exact
+        h_train_window=96,         # scene H_train keyframe budget per
+                                   # planning event (strided K/W subsample
+                                   # scaled by K/W; 0 = exact full sum,
+                                   # the reference's O(K) per event,
+                                   # gaussian.py:1338-1348).  Ranking gate:
+                                   # tests/test_slam.py Spearman >= 0.95
         mesh_axes=dict(data=1, model=1),
         near=0.01,
         far=100.0,

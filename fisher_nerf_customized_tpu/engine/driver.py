@@ -38,7 +38,8 @@ class ActiveMapper:
     def __init__(self, cfg, sim, scene=None, policy_name: str | None = None,
                  eval_dir: str | None = None, seed: int = 0,
                  traj_actions=None, object_scene: bool = False,
-                 dynamic_scene: bool = False, known_env_points=None):
+                 dynamic_scene: bool = False, known_env_points=None,
+                 dino_gate: bool = False, dino_weights: str | None = None):
         self.cfg = cfg
         self.sim = sim
         self.scene = scene                    # BoxScene (GT access) or None
@@ -53,6 +54,22 @@ class ActiveMapper:
         self._known_env_dev = None                 # device copy, cached
         self.obj_slam = None
         self.object_tracking = False
+        # DINO keyframe-distinctiveness gate (reference tester:628-768):
+        # frames whose masked patch descriptors are too similar to the
+        # accepted bank are skipped for object MAPPING (tracking continues).
+        # Opt-in to preserve prior artifacts; with --dino_weights the real
+        # ViT descriptors run, else the self-contained histogram extractor.
+        self.dino_bank = None
+        self._dino_extractor = None
+        if object_scene and (dino_gate or dino_weights):
+            from .dino_gate import DinoBank, PatchDescriptorExtractor
+            self.dino_bank = DinoBank()
+            if dino_weights:
+                from ..models.perceptual import ViTPatchExtractor
+                self._dino_extractor = \
+                    ViTPatchExtractor.from_checkpoint(dino_weights)
+            else:
+                self._dino_extractor = PatchDescriptorExtractor()
         self.criterion = str(cfg.criterion)
         self.object_metrics = MetricsRecorder(f"{cfg.criterion}_OA",
                                               "fake_scene")
@@ -229,9 +246,18 @@ class ActiveMapper:
             self.queue.clear()
             self.queue.extend(centering)
             self.object_tracking = True
+            if self.dino_bank is not None:
+                self.dino_bank.add_if_distinct(
+                    self._dino_extractor(np.asarray(obs["rgb"]), mask),
+                    force=True)                 # init frame always accepted
             return
+        allow_map = True
+        if self.dino_bank is not None:
+            descs = self._dino_extractor(np.asarray(obs["rgb"]), mask)
+            allow_map = self.dino_bank.add_if_distinct(descs)
         self.obj_slam.track_rgbd(obs["rgb"], obs["depth"], gt_w2c=w2c,
-                                 obj_mask_2d=mask, step=t)
+                                 obj_mask_2d=mask, step=t,
+                                 allow_map=allow_map)
         self.object_tracking = True
 
     def record_object_metrics(self, t, gt_object_points,

@@ -6,11 +6,13 @@ eval_3d_reconstruction.py:50-125 (KDTree accuracy/completion/ratio/FPR),
 scripts/evaluation.py:88 (5 cm NN coverage), scripts/auc_evaluation.py
 (per-step completeness curves + trapezoid AUC).
 
-LPIPS note: the reference uses pretrained AlexNet LPIPS; pretrained
-weights are unavailable in this offline environment, so `lpips_proxy`
-computes a deterministic random-feature perceptual distance (normalized
-multi-scale random-conv embeddings — same structure, fixed seed) and is
-reported under that explicit name.
+LPIPS note: the reference uses pretrained AlexNet LPIPS (ref:
+tester:1491); pretrained weights are unavailable in this offline
+environment, so `lpips_proxy` (a deterministic random-feature perceptual
+distance — same structure, fixed seed) is the default and is reported
+under that explicit name.  The REAL LPIPS(alex) architecture lives in
+`models/perceptual.py`; point `set_lpips_weights` (--lpips_weights) at a
+torch checkpoint and metrics additionally report `lpips`.
 """
 from __future__ import annotations
 
@@ -68,8 +70,24 @@ def lpips_proxy(img1, img2):
     return sum(jnp.mean((a - b) ** 2) for a, b in zip(f1, f2))
 
 
+_LPIPS_PARAMS = None        # set via set_lpips_weights
+
+
+def set_lpips_weights(path: str | None):
+    """Enable real LPIPS(alex) in render metrics from a torch checkpoint
+    (models/perceptual.load_torch_lpips).  None disables."""
+    global _LPIPS_PARAMS
+    if path:
+        from ..models.perceptual import load_torch_lpips
+        _LPIPS_PARAMS = {k: jnp.asarray(v)
+                         for k, v in load_torch_lpips(path).items()}
+    else:
+        _LPIPS_PARAMS = None
+
+
 def render_metrics(render, gt_rgb, render_depth=None, gt_depth=None):
-    """PSNR / SSIM / lpips_proxy / depth-MAE for one view."""
+    """PSNR / SSIM / lpips_proxy (+ real lpips when weights are set) /
+    depth-MAE for one view."""
     render = jnp.clip(jnp.asarray(render), 0.0, 1.0)
     # SSIM's <=1 bound only holds for nonnegative inputs; clip the GT too
     # so a sim handing back out-of-range pixels cannot unbound the metric
@@ -77,6 +95,9 @@ def render_metrics(render, gt_rgb, render_depth=None, gt_depth=None):
     out = dict(psnr=float(calc_psnr(render, gt_rgb)),
                ssim=float(calc_ssim(render, gt_rgb)),
                lpips_proxy=float(lpips_proxy(render, gt_rgb)))
+    if _LPIPS_PARAMS is not None:
+        from ..models.perceptual import lpips_alex
+        out["lpips"] = float(lpips_alex(_LPIPS_PARAMS, render, gt_rgb))
     if render_depth is not None and gt_depth is not None:
         gt_depth = np.asarray(gt_depth)
         rd = np.asarray(render_depth)

@@ -338,7 +338,12 @@ class GaussianObjectSLAM(GaussianSLAM):
         return int(n_added)
 
     def track_rgbd(self, color, depth, gt_w2c=None, action=None,
-                   obj_mask_2d=None, step: int | None = None):
+                   obj_mask_2d=None, step: int | None = None,
+                   allow_map: bool = True):
+        """allow_map=False vetoes the mapping/keyframe events for this
+        frame (tracking still runs) — the driver's DINO distinctiveness
+        gate uses it to skip frames too similar to the accepted bank
+        (reference tester:628-768 gating contract)."""
         if not self.initialized:
             self.init(color, depth, gt_w2c, obj_mask_2d)
             return
@@ -350,8 +355,10 @@ class GaussianObjectSLAM(GaussianSLAM):
                else self.poses_w2c[-1])
         self.poses_w2c.append(w2c)
 
-        is_map = mask.sum() > 0 and (time_idx + 1) % self.map_obj_every == 0
-        is_kf = mask.sum() > 0 and (time_idx + 1) % self.keyframe_obj_every == 0
+        is_map = (allow_map and mask.sum() > 0
+                  and (time_idx + 1) % self.map_obj_every == 0)
+        is_kf = (allow_map and mask.sum() > 0
+                 and (time_idx + 1) % self.keyframe_obj_every == 0)
         # upload the frame ONCE for both the mapping event and the keyframe
         devs = None
         if is_map or is_kf:

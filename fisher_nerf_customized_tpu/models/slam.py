@@ -575,6 +575,10 @@ class GaussianSLAM:
         self.forward_prop = bool(tr.forward_prop)
         self.state = empty_state(int(tpu.capacity))
         self.pose_chunk = int(tpu.pose_chunk)
+        # H_train keyframe budget per planning event (0 = exact full sum;
+        # see compute_H_train — the same windowed prior as the object
+        # branch's object_h_train_window)
+        self.h_train_window = int(tpu.get("h_train_window", 96))
         # -- product multi-chip mode (cfg.tpu.mesh_axes.data > 1): build
         # the device mesh once and route the hot dispatches (mapping
         # phase, candidate-pose EIG, H_train accumulation, path EIG)
@@ -1021,13 +1025,37 @@ class GaussianSLAM:
         with just the new keyframes' Hessians — numerically identical to a
         full recompute (the sum is over independent per-keyframe terms).
         `prewarm_H_train` dispatches the same computation asynchronously
-        ahead of a planning event."""
+        ahead of a planning event.
+
+        With `cfg.tpu.h_train_window` set (default 96) and more keyframes
+        than the window, the sum runs over a subsample of keyframe ids
+        evenly STRIDED across the whole history (always first + latest),
+        scaled by K/|ids| — an unbiased-coverage estimate of the exact
+        prior that bounds the per-event cost at O(W) where the reference
+        pays O(K) (gaussian.py:1338-1348 recomputes the full sum per event
+        because mapping invalidates any cache).  A stride — not a recency
+        window — keeps early-episode viewpoints in the prior, which is
+        what makes candidate-pose EIG rankings track the exact sum
+        (Spearman gate in tests/test_slam.py)."""
         key = self._h_train_key()
+        n_kf = len(self.keyframes)
+        w = self.h_train_window
+        if w and n_kf > w:
+            ids = sorted(set(np.round(
+                np.linspace(0, n_kf - 1, w)).astype(int).tolist()))
+            key = key + ("win", tuple(ids))
+            cached = getattr(self, "_h_train_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            h = self._h_train_over(
+                self.keyframes.stacked_w2cs()[ids]) * (n_kf / len(ids))
+            self._h_train_cache = (key, h)
+            return h
         cached = getattr(self, "_h_train_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        if cached is not None and cached[0][1:] == key[1:] \
-                and cached[0][0] < key[0]:
+        if cached is not None and len(cached[0]) == len(key) \
+                and cached[0][1:] == key[1:] and cached[0][0] < key[0]:
             h = cached[1] + self._h_train_over(
                 self.keyframes.stacked_w2cs()[cached[0][0]:])
         else:

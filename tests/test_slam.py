@@ -364,3 +364,41 @@ def test_eval_nvs_protocol(tmp_path):
     assert res_far["n_eval_frames"] == 1
     assert res_far["n_valid_frames"] == 0
     assert np.isnan(res_far["psnr"])
+
+
+def test_h_train_window_ranking_gate(tmp_path):
+    """Windowed H_train prior (cfg.tpu.h_train_window, strided K/W
+    subsample scaled by K/W) must preserve candidate-pose EIG rankings vs
+    the exact full-keyframe sum (Spearman >= 0.95) — the estimator-
+    equivalence gate for beating the reference's O(K)-per-event recompute
+    (gaussian.py:1338-1348)."""
+    from scipy.stats import spearmanr
+    cfg = small_cfg(tmp_path)
+    cfg.keyframe_every = 2
+    slam = GaussianSLAM(cfg)
+    sim = make_sim()
+    obs = sim.reset(start_xz=(0.0, 0.0), yaw=0.2)
+    slam.init(obs["rgb"], obs["depth"], np.linalg.inv(obs["c2w"]))
+    for a in [2, 1, 1, 2, 1, 3, 1, 1, 2, 1, 2, 1, 1, 3, 1, 2]:
+        obs = sim.step(a)
+        slam.track_rgbd(obs["rgb"], obs["depth"],
+                        gt_w2c=np.linalg.inv(obs["c2w"]))
+    n_kf = len(slam.keyframes)
+    assert n_kf >= 6
+    # candidate poses: perturbed copies of visited keyframe poses
+    cands = []
+    for i, w2c in enumerate(slam.keyframes.w2cs):
+        c2w = np.linalg.inv(np.asarray(w2c))
+        c2w[0, 3] += 0.15 * ((i % 3) - 1)
+        cands.append(c2w)
+    cands = np.stack(cands)
+
+    slam.h_train_window = 0
+    slam._h_train_cache = None
+    exact, _ = slam.pose_eval(cands)
+    slam.h_train_window = max(3, n_kf // 2)
+    slam._h_train_cache = None
+    approx, _ = slam.pose_eval(cands)
+    rho = spearmanr(np.asarray(exact), np.asarray(approx)).statistic
+    assert rho >= 0.95, f"windowed H_train broke rankings: rho={rho}"
+    assert int(np.argmax(exact)) == int(np.argmax(approx))
