@@ -475,6 +475,116 @@ def _probe_backend(timeout_s: float = 120.0) -> bool:
         return False
 
 
+def _mesh_build(tmp, data_axis: int, steps: int, img: int = 64):
+    """Reduced-scale episode builder for the virtual-mesh characterization
+    (same code paths as build(), sized for the 1-core CPU host)."""
+    from fisher_nerf_customized_tpu.config import get_cfg_defaults
+    from fisher_nerf_customized_tpu.engine import ActiveMapper
+    from fisher_nerf_customized_tpu.envs.fake_sim import BoxScene, FakeSim
+    from fisher_nerf_customized_tpu.ops.camera import Camera
+    cfg = get_cfg_defaults()
+    cfg.workdir = tmp
+    cfg.run_name = f"mesh{data_axis}"
+    cfg.SLAM.Dataset.Calibration.merge_from_other(dict(
+        fx=img / 2.0, fy=img / 2.0, cx=img / 2.0, cy=img / 2.0,
+        width=img, height=img))
+    cfg.num_frames = steps
+    cfg.map_every = 8
+    cfg.keyframe_every = 4
+    cfg.downsample_pcd = 2
+    cfg.mapping.num_iters = 16
+    cfg.policy.planning_queue_size = 10
+    cfg.explore.sample_view_num = 32
+    cfg.tpu.capacity = 8192
+    cfg.tpu.tile_size = 8
+    cfg.tpu.max_per_tile = 256
+    cfg.tpu.pose_chunk = 8
+    cfg.tpu.mapping_frames_per_iter = 8
+    cfg.tpu.mesh_axes.data = data_axis
+    cam = Camera(fx=img / 2.0, fy=img / 2.0, cx=img / 2.0, cy=img / 2.0,
+                 width=img, height=img)
+    scene = BoxScene.default(seed=0, n_obstacles=6, room=4.0)
+    sim = FakeSim(scene, cam, forward_step=0.1, turn_angle=20.0, seed=0)
+    return ActiveMapper(cfg, sim, scene=scene, seed=0)
+
+
+def _collective_traffic_model(capacity: int, n_dev: int, mapping_iters: int,
+                              pose_chunk: int, h_train_chunks: int):
+    """Analytic per-event collective bytes for the product sharded paths
+    (parallel/sharding.py), ring-allreduce wire model: a psum of B bytes
+    moves 2*(N-1)/N*B per device over ICI; P('data')-out shard_maps move
+    nothing until the host gathers the (small) scores.
+
+    Recorded so a future multi-chip box can check the >=5x-at-8-chips
+    north star in one run: at v5e ICI (~186 GB/s/link usable estimate,
+    scaling-book numbers) the mapping event's gradient psums are the only
+    non-trivial traffic and stay ~1e-4 of the event's compute time."""
+    ring = 2.0 * (n_dev - 1) / n_dev
+    grad_floats = capacity * 14          # means3+scales3+quats4+opac1+rgb3
+    mapping_psum = mapping_iters * grad_floats * 4 * ring
+    htrain_psum = h_train_chunks * capacity * 4 * 4 * ring
+    return dict(
+        mapping_event_bytes_per_dev=int(mapping_psum),
+        h_train_event_bytes_per_dev=int(htrain_psum),
+        pose_eval_bytes_per_dev=int(pose_chunk * 4),   # scores host-gather
+        path_eig_bytes_per_dev=0,                      # no hot collectives
+        model=f"ring psum 2*(N-1)/N, N={n_dev}",
+    )
+
+
+def mesh_main(n_dev: int, steps: int = 40):
+    """--mesh data=N: sharded-mode perf characterization on a virtual
+    N-device CPU mesh (VERDICT r3 next-step 7).  Runs the SAME reduced
+    episode at data=N and data=1, reports per-phase totals, the sharded
+    dispatch counts, per-phase dispatch overhead (virtual-mesh CPU: all
+    devices share one core, so >=1x wall ratios measure DISPATCH +
+    collective-lowering cost, not speedup — real speedup needs N chips),
+    and the analytic collective-traffic-per-event table."""
+    import shutil
+    import tempfile
+    from fisher_nerf_customized_tpu.utils.jax_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
+    tmp = tempfile.mkdtemp(prefix="fnc_meshbench")
+    out = {}
+    try:
+        for axis in (n_dev, 1):
+            mapper = _mesh_build(tmp, axis, steps)
+            t0 = time.perf_counter()
+            r = mapper.test_navigation(n_eval_poses=0)
+            wall = time.perf_counter() - t0
+            out[axis] = dict(
+                wall_s=round(wall, 2), steps=r["steps"],
+                phase_totals_s={k: round(v["total_s"], 3)
+                                for k, v in sorted(
+                                    r["timing"].items(),
+                                    key=lambda kv: -kv[1]["total_s"])},
+                sharded_calls=dict(getattr(mapper.slam, "sharded_calls",
+                                           {})),
+                n_gaussians=int(mapper.slam.n_active))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    shard, single = out[n_dev], out[1]
+    overhead = {}
+    for k, v in shard["phase_totals_s"].items():
+        s = single["phase_totals_s"].get(k)
+        if s and s > 0.05:
+            overhead[k] = round(v / s, 2)
+    cfg_cap, cfg_iters, cfg_chunk = 8192, 16, 8
+    traffic = _collective_traffic_model(
+        cfg_cap, n_dev, cfg_iters, cfg_chunk,
+        h_train_chunks=max(1, shard["sharded_calls"].get("h_train", 1)))
+    print(json.dumps(dict(
+        metric="sharded_virtual_mesh_wall_ratio",
+        value=round(shard["wall_s"] / max(single["wall_s"], 1e-9), 3),
+        unit=f"x (data={n_dev} vs data=1 wall on a 1-core virtual CPU "
+             "mesh; 1.0 = free dispatch, real speedup needs N chips)",
+        vs_baseline=1.0,
+        extras=dict(sharded=shard, single=single,
+                    per_phase_wall_ratio=overhead,
+                    collective_traffic=traffic)), default=float))
+
+
 def main():
     if not _probe_backend():
         print(json.dumps(dict(
@@ -617,4 +727,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    import os
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default=None,
+                    help="'data=N': sharded characterization on a virtual "
+                         "N-device CPU mesh instead of the TPU episode")
+    ap.add_argument("--mesh_steps", type=int, default=40)
+    cli, _ = ap.parse_known_args()
+    if cli.mesh:
+        n = int(cli.mesh.split("=", 1)[1])
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        mesh_main(n, steps=cli.mesh_steps)
+    else:
+        main()

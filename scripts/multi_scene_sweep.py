@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Multi-scene / multi-policy sweep artifact (BASELINE.json configs[4]).
+
+The reference's headline protocol runs each policy over a list of scenes
+(scripts/mp3d.sh + run_process.py per scene) and aggregates per-step
+completeness curves into per-policy AUC via scripts/auc_evaluation.py:26-169,
+storing curves in data/metric_data/<policy>.yaml.  This script is the
+TPU-framework analog on hermetic procedural scenes:
+
+  * runs P policies x S scenes sequentially on the current device (one
+    TPU process at a time — scripts/run_process.py rationale); the
+    in-episode sharded paths activate when cfg.tpu.mesh_axes.data > 1
+    (correctness of those paths vs single-device is separately asserted
+    by tests/test_sharded_episode.py on the virtual 8-CPU mesh),
+  * writes each run's per-step curve in the REFERENCE metric_data YAML
+    shape (experiment.policy_name / scene_id, settings.
+    distance_threshold_m, steps[].{acc_distance_m, comp_distance_m,
+    completeness_ratio, fpr, est_pcl_path}),
+  * emits metric_data/auc_summary.json with per-policy AUC mean +/- std
+    across scenes (the number the reference reports per policy),
+  * the YAMLs feed scripts/compare_curves.py for the overlay plot.
+
+Usage:
+  python scripts/multi_scene_sweep.py --steps 120 \
+      --policies gaussians_based,frontier --n_scenes 8 \
+      --out artifacts/r4/sweep
+Equality of a sweep cell vs an individually-launched episode (same
+scene/policy/seed) is tested in tests/test_sweep.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fisher_nerf_customized_tpu.utils.platform import pin_platform_from_env
+
+pin_platform_from_env()
+
+import numpy as np
+
+# reference policy names for the metric_data files
+# (ref: data/metric_data/{FBE,FisherRF,FisherRF_OA,POp_GS_*_OA}.yaml)
+REF_POLICY_NAME = {
+    "gaussians_based": "FisherRF",
+    "frontier": "FBE",
+    "random_walk": "RandomWalk",
+    "upen": "UPEN",
+}
+
+
+def dump_reference_yaml(recorder, path: str, scene_id: str,
+                        dist_thresh_m: float):
+    """MetricsRecorder curve -> the reference's metric_data YAML shape
+    (ref: data/metric_data/FBE.yaml keys; scripts/auc_evaluation.py:39-70
+    reads steps[].completeness_ratio)."""
+    import yaml
+    policy = recorder.header["policy"]
+    steps = [dict(step=int(s["step"]),
+                  acc_distance_m=float(s.get("acc_distance", 0.0)),
+                  comp_distance_m=float(s.get("comp_distance", 0.0)),
+                  completeness_ratio=float(s.get("completeness_ratio", 0.0)),
+                  fpr=float(s.get("fpr", 0.0)),
+                  est_pcl_path="None")
+             for s in recorder.steps]
+    doc = dict(experiment=dict(
+        policy_name=REF_POLICY_NAME.get(policy, policy),
+        scene_id=scene_id),
+        settings=dict(distance_threshold_m=float(dist_thresh_m)),
+        steps=steps)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=False)
+
+
+def run_cell(policy: str, scene_seed: int, steps: int, workdir: str,
+             recon_every: int = 25, dist_thresh: float = 0.05,
+             scene_kind: str = "room", img: int = 256):
+    """One (policy, scene) episode; returns (auc, curve recorder, wall_s)."""
+    from quality_check import build
+    from fisher_nerf_customized_tpu.envs.fake_sim import BoxScene
+    scene = (BoxScene.multi_room(seed=scene_seed)
+             if scene_kind == "apartment"
+             else BoxScene.default(seed=scene_seed, n_obstacles=8, room=5.0))
+    scene_id = f"fake_{scene_kind}_{scene_seed}"
+    mapper, scene = build(policy, steps, seed=scene_seed, workdir=workdir,
+                          run_name=f"{policy}_{scene_id}", scene=scene,
+                          img=img)
+    mapper.metrics.header["scene"] = scene_id
+    gt = scene.sample_surface_points(100000)
+    t0 = time.perf_counter()
+    result = mapper.test_navigation(n_eval_poses=0, recon_gt_points=gt)
+    wall = time.perf_counter() - t0
+    auc = float(mapper.metrics.auc("completeness_ratio"))
+    return dict(auc=auc, recorder=mapper.metrics, wall_s=wall,
+                steps=result["steps"], done=result["done_reason"],
+                scene_id=scene_id)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--policies", default="gaussians_based,frontier")
+    ap.add_argument("--n_scenes", type=int, default=8)
+    ap.add_argument("--scene_kind", default="room",
+                    choices=["room", "apartment"])
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--seed0", type=int, default=100,
+                    help="scene seeds are seed0..seed0+n_scenes-1")
+    ap.add_argument("--out", default="artifacts/sweep")
+    ap.add_argument("--dist_thresh", type=float, default=0.05)
+    ap.add_argument("--img", type=int, default=256)
+    args = ap.parse_args()
+
+    policies = [p.strip() for p in args.policies.split(",") if p.strip()]
+    seeds = list(range(args.seed0, args.seed0 + args.n_scenes))
+    md_dir = os.path.join(args.out, "metric_data")
+    os.makedirs(md_dir, exist_ok=True)
+
+    summary = {"steps": args.steps, "n_scenes": args.n_scenes,
+               "scene_seeds": seeds, "policies": {}}
+    for policy in policies:
+        aucs, walls = [], []
+        for seed in seeds:
+            cell = run_cell(policy, seed, args.steps,
+                            workdir=os.path.join(args.out, "runs"),
+                            dist_thresh=args.dist_thresh,
+                            scene_kind=args.scene_kind, img=args.img)
+            dump_reference_yaml(
+                cell["recorder"],
+                os.path.join(md_dir, REF_POLICY_NAME.get(policy, policy),
+                             f"{cell['scene_id']}.yaml"),
+                cell["scene_id"], args.dist_thresh)
+            aucs.append(cell["auc"])
+            walls.append(cell["wall_s"])
+            print(json.dumps(dict(policy=policy, scene=cell["scene_id"],
+                                  auc=round(cell["auc"], 3),
+                                  steps=cell["steps"], done=cell["done"],
+                                  wall_s=round(cell["wall_s"], 1))),
+                  flush=True)
+        summary["policies"][REF_POLICY_NAME.get(policy, policy)] = dict(
+            auc_mean=float(np.mean(aucs)), auc_std=float(np.std(aucs)),
+            auc_per_scene={f"fake_{args.scene_kind}_{s}": round(a, 3)
+                           for s, a in zip(seeds, aucs)},
+            wall_s_total=round(float(np.sum(walls)), 1))
+    with open(os.path.join(md_dir, "auc_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({"summary": {
+        k: dict(auc_mean=round(v["auc_mean"], 3),
+                auc_std=round(v["auc_std"], 3))
+        for k, v in summary["policies"].items()}}))
+
+
+if __name__ == "__main__":
+    main()

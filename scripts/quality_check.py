@@ -28,15 +28,16 @@ import numpy as np
 
 def build(policy: str, steps: int, seed: int = 11,
           frames_per_iter: int = 1, object_scene: bool = False,
-          dynamic_scene: bool = False):
+          dynamic_scene: bool = False, workdir: str = "/tmp/fnc_quality",
+          run_name: str | None = None, scene=None, img: int = 256):
     from fisher_nerf_customized_tpu.config import get_cfg_defaults
     from fisher_nerf_customized_tpu.engine import ActiveMapper
     from fisher_nerf_customized_tpu.envs.fake_sim import BoxScene, FakeSim
     from fisher_nerf_customized_tpu.ops.camera import Camera
 
     cfg = get_cfg_defaults()
-    cfg.workdir = "/tmp/fnc_quality"
-    cfg.run_name = f"q_{policy}"
+    cfg.workdir = workdir
+    cfg.run_name = run_name or f"q_{policy}"
     cfg.policy.name = policy
     cfg.num_frames = steps
     cfg.map_every = 10
@@ -71,9 +72,15 @@ def build(policy: str, steps: int, seed: int = 11,
             node = getattr(node, p_)
         setattr(node, parts[-1], ast.literal_eval(val))
 
-    cam = Camera(fx=128.0, fy=128.0, cx=128.0, cy=128.0,
-                 width=256, height=256)
-    scene = BoxScene.default(seed=seed, n_obstacles=8, room=5.0)
+    cam = Camera(fx=img / 2.0, fy=img / 2.0, cx=img / 2.0, cy=img / 2.0,
+                 width=img, height=img)
+    if img != 256:
+        cfg.img_height = cfg.img_width = img
+        cfg.SLAM.Dataset.Calibration.merge_from_other(dict(
+            width=img, height=img, fx=img / 2.0, fy=img / 2.0,
+            cx=img / 2.0, cy=img / 2.0))
+    if scene is None:
+        scene = BoxScene.default(seed=seed, n_obstacles=8, room=5.0)
     obj = None
     if object_scene:
         from fisher_nerf_customized_tpu.envs.fake_sim import SimObject
