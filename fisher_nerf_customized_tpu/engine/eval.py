@@ -292,13 +292,21 @@ def eval_nvs(slam, frames, eval_every: int = 1, sil_thres: float = 0.5,
         # elementwise sqrt(diff^2) summed/count (eval_helpers.py:744-746),
         # which is numerically identical to its depth L1 — compare
         # reference rmse logs against depth_l1 below, not depth_rmse.
-        per_frame.append(dict(
+        row = dict(
             frame=test_idx, psnr=psnr, ssim=ssim, lpips_proxy=lp,
             depth_rmse=float(np.sqrt((diff ** 2).sum() / nv)),
             depth_l1=float(np.abs(diff).sum() / nv),
-            holes_pct=holes_pct))
+            holes_pct=holes_pct)
+        if _LPIPS_PARAMS is not None:      # real LPIPS(alex) when loaded
+            from ..models.perceptual import lpips_alex
+            row["lpips"] = float(lpips_alex(_LPIPS_PARAMS,
+                                            jnp.asarray(im * m3),
+                                            jnp.asarray(gt_rgb * m3)))
+        per_frame.append(row)
     valid = np.asarray(valid_flags, bool)
     keys = ("psnr", "ssim", "lpips_proxy", "depth_rmse", "depth_l1")
+    if per_frame and "lpips" in per_frame[0]:
+        keys = keys + ("lpips",)
     if valid.any():
         avg = {k: float(np.mean([f[k] for f, v in zip(per_frame, valid)
                                  if v])) for k in keys}
