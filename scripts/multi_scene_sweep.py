@@ -125,6 +125,25 @@ def main():
     for policy in policies:
         aucs, walls = [], []
         for seed in seeds:
+            # resume: a completed cell's YAML doubles as its cache, so a
+            # babysitter can restart the sweep after a tunnel wedge
+            # without repaying finished episodes (run_process.py rationale)
+            scene_id = f"fake_{args.scene_kind}_{seed}"
+            ypath = os.path.join(md_dir, REF_POLICY_NAME.get(policy, policy),
+                                 f"{scene_id}.yaml")
+            if os.path.exists(ypath):
+                import yaml
+                from fisher_nerf_customized_tpu.engine.eval import \
+                    trapezoid_auc
+                doc = yaml.safe_load(open(ypath))
+                ys = [s["completeness_ratio"] for s in doc["steps"]]
+                auc = trapezoid_auc(ys)
+                print(json.dumps(dict(policy=policy, scene=scene_id,
+                                      auc=round(auc, 3), cached=True)),
+                      flush=True)
+                aucs.append(auc)
+                walls.append(0.0)
+                continue
             cell = run_cell(policy, seed, args.steps,
                             workdir=os.path.join(args.out, "runs"),
                             dist_thresh=args.dist_thresh,
