@@ -113,6 +113,10 @@ def main():
     ap.add_argument("--out", default="artifacts/sweep")
     ap.add_argument("--dist_thresh", type=float, default=0.05)
     ap.add_argument("--img", type=int, default=256)
+    ap.add_argument("--summarize_only", action="store_true",
+                    help="write auc_summary.json from existing cell YAMLs "
+                         "only (no episodes; honest partial artifact when "
+                         "the device window ends mid-sweep)")
     args = ap.parse_args()
 
     policies = [p.strip() for p in args.policies.split(",") if p.strip()]
@@ -123,7 +127,7 @@ def main():
     summary = {"steps": args.steps, "n_scenes": args.n_scenes,
                "scene_seeds": seeds, "policies": {}}
     for policy in policies:
-        aucs, walls = [], []
+        aucs, walls, done_seeds = [], [], []
         for seed in seeds:
             # resume: a completed cell's YAML doubles as its cache, so a
             # babysitter can restart the sweep after a tunnel wedge
@@ -143,6 +147,9 @@ def main():
                       flush=True)
                 aucs.append(auc)
                 walls.append(0.0)
+                done_seeds.append(seed)
+                continue
+            if args.summarize_only:
                 continue
             cell = run_cell(policy, seed, args.steps,
                             workdir=os.path.join(args.out, "runs"),
@@ -155,15 +162,19 @@ def main():
                 cell["scene_id"], args.dist_thresh)
             aucs.append(cell["auc"])
             walls.append(cell["wall_s"])
+            done_seeds.append(seed)
             print(json.dumps(dict(policy=policy, scene=cell["scene_id"],
                                   auc=round(cell["auc"], 3),
                                   steps=cell["steps"], done=cell["done"],
                                   wall_s=round(cell["wall_s"], 1))),
                   flush=True)
+        if not aucs:       # summarize_only with no finished cells
+            continue
         summary["policies"][REF_POLICY_NAME.get(policy, policy)] = dict(
+            n_scenes_done=len(aucs),
             auc_mean=float(np.mean(aucs)), auc_std=float(np.std(aucs)),
             auc_per_scene={f"fake_{args.scene_kind}_{s}": round(a, 3)
-                           for s, a in zip(seeds, aucs)},
+                           for s, a in zip(done_seeds, aucs)},
             wall_s_total=round(float(np.sum(walls)), 1))
     with open(os.path.join(md_dir, "auc_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

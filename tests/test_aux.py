@@ -186,3 +186,42 @@ def test_eval_cli_scripts(tmp_path):
     assert out2.returncode == 0, out2.stderr
     res2 = json.loads(out2.stdout[out2.stdout.index("{"):])
     assert res2["completeness_ratio"] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# startup watchdog (utils/platform.py) — wedge-to-exit conversion
+
+
+def test_startup_watchdog_disarmed_noop(monkeypatch):
+    monkeypatch.delenv("FNC_STARTUP_WATCHDOG_S", raising=False)
+    from fisher_nerf_customized_tpu.utils.platform import (
+        arm_startup_watchdog, startup_probe)
+    ev = arm_startup_watchdog()          # no env, no timeout -> disarmed
+    ev.set()                             # harmless
+    startup_probe()                      # no-op without the env var
+
+
+def test_startup_watchdog_confirmed_survives():
+    from fisher_nerf_customized_tpu.utils.platform import (
+        arm_startup_watchdog)
+    done = arm_startup_watchdog(timeout_s=0.2)
+    done.set()                           # contact confirmed in time
+    import time
+    time.sleep(0.4)                      # watchdog must NOT kill us
+
+
+def test_startup_watchdog_wedge_exits_86():
+    """Unconfirmed contact -> os._exit(WEDGE_EXIT_CODE) (subprocess)."""
+    import subprocess
+    import sys
+    code = (
+        "from fisher_nerf_customized_tpu.utils.platform import "
+        "arm_startup_watchdog\n"
+        "import time\n"
+        "arm_startup_watchdog(timeout_s=0.2)\n"
+        "time.sleep(5)\n"                # simulated wedge: never confirms
+    )
+    p = subprocess.run([sys.executable, "-c", code], timeout=30,
+                       env={**__import__('os').environ,
+                            "JAX_PLATFORMS": "cpu"})
+    assert p.returncode == 86
