@@ -458,21 +458,37 @@ def _phase_regressions(phases: dict, prev_phases: dict,
     return out
 
 
-def _probe_backend(timeout_s: float = 120.0) -> bool:
+def _probe_backend(timeout_s: float = 120.0, retries: int = 5,
+                   retry_wait_s: float = 240.0) -> bool:
     """Fail fast if the device backend is unreachable (a wedged TPU
     tunnel makes jax backend init block FOREVER, which would hang the
-    whole bench run; probe in a subprocess so the hang is killable)."""
+    whole bench run; probe in a subprocess so the hang is killable).
+
+    The probe compiles a small jit chain, not just an eltwise op — the
+    observed tunnel failure mode wedges fresh COMPILES while trivial
+    cached ops still pass.  Wedge windows are transient (minutes), so
+    the probe retries across a ~20-minute patience window before
+    declaring the device down: a red 0.0 artifact should mean "down",
+    not "momentarily wedged"."""
     import subprocess
     import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "jnp.ones(4).sum().block_until_ready()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    code = ("import jax, jax.numpy as jnp;"
+            "f=jax.jit(lambda x:(jnp.tanh(x@x)@x).sum());"
+            "print(f(jnp.ones((256,256),jnp.bfloat16)))")
+    for attempt in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries - 1:
+            print(f"[probe] device wedged (attempt {attempt + 1}/"
+                  f"{retries}); waiting {retry_wait_s:.0f}s",
+                  file=sys.stderr)
+            time.sleep(retry_wait_s)
+    return False
 
 
 def _mesh_build(tmp, data_axis: int, steps: int, img: int = 64):
