@@ -458,18 +458,19 @@ def _phase_regressions(phases: dict, prev_phases: dict,
     return out
 
 
-def _probe_backend(timeout_s: float = 120.0, retries: int = 5,
-                   retry_wait_s: float = 240.0) -> bool:
+def _probe_backend(timeout_s: float = 120.0, retries: int = 8,
+                   retry_wait_s: float = 60.0) -> bool:
     """Fail fast if the device backend is unreachable (a wedged TPU
     tunnel makes jax backend init block FOREVER, which would hang the
     whole bench run; probe in a subprocess so the hang is killable).
 
     The probe compiles a small jit chain, not just an eltwise op — the
     observed tunnel failure mode wedges fresh COMPILES while trivial
-    cached ops still pass.  Wedge windows are transient (minutes), so
-    the probe retries across a ~20-minute patience window before
-    declaring the device down: a red 0.0 artifact should mean "down",
-    not "momentarily wedged"."""
+    cached ops still pass.  Wedges hit individual clients near launch
+    (a fresh client can succeed seconds after another wedged), so the
+    probe is a retry lottery: many short draws across a ~15-minute
+    patience window before declaring the device down — a red 0.0
+    artifact should mean "down", not "momentarily wedged"."""
     import subprocess
     import sys
     code = ("import jax, jax.numpy as jnp;"
