@@ -68,3 +68,24 @@ def test_sweep_cell_equals_individual_run(tmp_path):
     ca = [s["completeness_ratio"] for s in a["recorder"].steps]
     cb = [s["completeness_ratio"] for s in b["recorder"].steps]
     np.testing.assert_allclose(ca, cb, rtol=1e-6)
+
+
+def test_sweep_cached_resume_auc_matches_recorder(tmp_path):
+    """The resume path recomputes a cell's AUC from its dumped YAML; it
+    must equal the live recorder's AUC exactly (trapezoid over recorded
+    entries, scripts/multi_scene_sweep.py cached branch) so a
+    babysitter-restarted sweep aggregates identical mean/std."""
+    os.environ["QUALITY_SET"] = _small_env(tmp_path)["QUALITY_SET"]
+    try:
+        from multi_scene_sweep import dump_reference_yaml, run_cell
+        cell = run_cell("frontier", 100, 10, str(tmp_path / "runs"),
+                        img=64)
+    finally:
+        os.environ.pop("QUALITY_SET", None)
+    ypath = tmp_path / "md" / "FBE" / f"{cell['scene_id']}.yaml"
+    dump_reference_yaml(cell["recorder"], str(ypath), cell["scene_id"],
+                        0.05)
+    from fisher_nerf_customized_tpu.engine.eval import trapezoid_auc
+    doc = yaml.safe_load(ypath.read_text())
+    ys = [s["completeness_ratio"] for s in doc["steps"]]
+    assert trapezoid_auc(ys) == pytest.approx(cell["auc"], rel=1e-6)
