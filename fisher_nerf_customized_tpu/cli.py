@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dino_weights", default=None,
                    help="DINO/DINOv2 ViT torch checkpoint for the object "
                         "keyframe gate (implies --dino_gate)")
+    # YACS-style trailing overrides (the reference's BaseOptions exposes
+    # the same escape hatch via cfg.merge_from_list); values go through
+    # literal_eval so `--set checkpoint_interval 100` lands as an int
+    p.add_argument("--set", dest="opts", nargs="*", default=None,
+                   metavar="KEY VALUE",
+                   help="config overrides applied last: KEY VALUE "
+                        "[KEY VALUE ...] (dotted keys allowed)")
     return p
 
 
@@ -94,6 +101,17 @@ def load_config(args):
     if args.debug:
         cfg.mapping.num_iters = min(int(cfg.mapping.num_iters), 10)
         cfg.num_frames = min(int(cfg.num_frames), 40)
+    if getattr(args, "opts", None):
+        import ast
+        vals = []
+        for i, v in enumerate(args.opts):
+            if i % 2 == 1:
+                try:
+                    v = ast.literal_eval(v)
+                except (ValueError, SyntaxError):
+                    pass
+            vals.append(v)
+        cfg.merge_from_list(vals)
     return cfg
 
 

@@ -20,4 +20,5 @@ exec timeout 3600 python main.py \
   --dataset fake --dataset_split val --sim fake \
   --scenes_list fake_apartment7x7_0 \
   --max_steps 2000 --eval_every 100 \
-  --log_dir artifacts/r4 --seed 0 $EXTRA
+  --log_dir artifacts/r4 --seed 0 \
+  --set checkpoint_interval 100 $EXTRA
