@@ -41,15 +41,27 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   # (the children procfile must be READ, not ls'ed)
   PYPID=$(awk '{print $1}' "/proc/$PID/task/$PID/children" 2>/dev/null)
   [ -z "$PYPID" ] && PYPID=$PID
-  STALL=0; LASTR=-1
+  STALL=0; LASTR=-1; LASTU=-1
   while kill -0 "$PID" 2>/dev/null; do
     sleep "$POLL_S"
     R=$(awk '/^rchar/{print $2}' "/proc/$PYPID/io" 2>/dev/null)
     [ -z "$R" ] && break
-    if [ "$R" = "$LASTR" ]; then STALL=$((STALL+1)); else STALL=0; fi
+    U=$(awk '{print $14}' "/proc/$PYPID/stat" 2>/dev/null)
+    # frozen rchar alone can be a long XLA compile (pure CPU, no device
+    # RPCs); a true wedge is futex-blocked — rchar frozen AND (almost) no
+    # CPU.  Allow up to ~1s CPU/poll of creep (observed on real wedges).
+    CPU_OK=0
+    if [ -n "$U" ] && [ "$LASTU" -ge 0 ] && \
+       [ $((U - LASTU)) -gt $((POLL_S * 3)) ]; then CPU_OK=1; fi
+    LASTU=${U:-$LASTU}
+    if [ "$R" = "$LASTR" ] && [ "$CPU_OK" = 0 ]; then
+      STALL=$((STALL+1))
+    else
+      STALL=0
+    fi
     LASTR=$R
     if [ "$STALL" -ge "$STALL_POLLS" ]; then
-      echo "[watchdog] io stall (rchar=$R), restarting ($(date))" | tee -a "$LOG"
+      echo "[watchdog] io stall (rchar=$R utime=$U), restarting ($(date))" | tee -a "$LOG"
       kill "$PID" "$PYPID" 2>/dev/null; sleep 3; kill -9 "$PYPID" 2>/dev/null
       break
     fi
