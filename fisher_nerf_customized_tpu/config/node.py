@@ -57,13 +57,22 @@ class ConfigNode(dict):
         return self.merge_from_other(data)
 
     def merge_from_list(self, opts: list) -> "ConfigNode":
-        """['a.b.c', 1, 'x.y', 2] style overrides (YACS-compatible)."""
+        """['a.b.c', 1, 'x.y', 2] style overrides (YACS-compatible).
+
+        Unknown keys raise KeyError, matching YACS merge_from_list: a
+        typo'd `--set checkpont_interval 100` must fail loudly, not
+        silently leave the real knob at its default."""
         assert len(opts) % 2 == 0, "override list must be key/value pairs"
         for key, value in zip(opts[0::2], opts[1::2]):
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
+                if p not in node or not isinstance(node[p], ConfigNode):
+                    raise KeyError(
+                        f"unknown config node {p!r} in override {key!r}")
                 node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key {key!r} in override")
             node[parts[-1]] = value
         return self
 

@@ -777,21 +777,40 @@ class ActiveMapper:
             extra.update(habvis_fow=hv["fow_mask"],
                          habvis_traj=np.asarray(hv["traj"]).reshape(-1, 2),
                          habvis_obj=np.asarray(hv["obj_traj"]).reshape(-1, 2))
-        np.savez(os.path.join(self.eval_dir, "episode_state.npz"), **extra)
         # RNG states: without these a resumed episode's planning draws
         # diverge from the uninterrupted run's
-        import pickle
-        with open(os.path.join(self.eval_dir, "episode_rng.pkl"), "wb") as f:
-            pickle.dump(dict(
-                driver=self.rng.bit_generator.state,
-                planner=self.planner.rng.bit_generator.state,
-                slam=self.slam.rng.bit_generator.state,
-                pcl=self.global_pcl.rng.bit_generator.state), f)
+        from ..utils.io import atomic_pickle, atomic_savez
+        atomic_pickle(os.path.join(self.eval_dir, "episode_rng.pkl"), dict(
+            driver=self.rng.bit_generator.state,
+            planner=self.planner.rng.bit_generator.state,
+            slam=self.slam.rng.bit_generator.state,
+            pcl=self.global_pcl.rng.bit_generator.state))
+        # episode_state is written LAST and atomically: it is the commit
+        # record of the checkpoint group.  resume() trusts ep["t"] to pick
+        # the params file, so a kill anywhere earlier in this function
+        # leaves the previous consistent group in force (advisor r4:
+        # non-atomic checkpoint-group finding, driver.py:758).
+        atomic_savez(os.path.join(self.eval_dir, "episode_state.npz"),
+                     **extra)
 
     def resume(self, slam_ckpt: str):
         """Restore the FULL episode state and replay the last tracked pose
         into the simulator; the next test_navigation() continues from the
-        checkpointed step with identical coverage accounting."""
+        checkpointed step with identical coverage accounting.
+
+        episode_state.npz is the commit record: when present and it names
+        a step t whose params{t}.npz exists and loads, that file wins over
+        the caller-supplied (typically newest-by-name) checkpoint — a kill
+        between slam.save(t) and the episode_state write must not pair
+        params at t with episode state at t-interval."""
+        from ..utils.io import valid_npz
+        ep_path_early = os.path.join(self.eval_dir, "episode_state.npz")
+        if os.path.exists(ep_path_early) and valid_npz(ep_path_early):
+            with np.load(ep_path_early) as ep0:
+                committed = os.path.join(self.eval_dir,
+                                         f"params{int(ep0['t'])}.npz")
+            if os.path.exists(committed) and valid_npz(committed):
+                slam_ckpt = committed
         self.slam.load(slam_ckpt)
         astar_path = os.path.join(self.eval_dir, "astar.npz")
         if os.path.exists(astar_path):

@@ -1178,23 +1178,26 @@ class GaussianSLAM:
                                      self.state.params()))
         # uncompressed savez: these writes sit on the episode's critical
         # path (checkpoint_interval=40) and zlib on ~20 MB of float data
-        # costs ~2 s per checkpoint vs ~0.1 s raw
-        np.savez(
+        # costs ~2 s per checkpoint vs ~0.1 s raw.  Atomic (tmp+rename):
+        # the wedge watchdog may SIGKILL mid-save and a torn params npz
+        # would make every subsequent resume attempt crash.
+        from ..utils.io import atomic_save_npy, atomic_savez
+        atomic_savez(
             path,
             n_active=self.n_active,
             timestep=ts,
             poses_w2c=np.stack(self.poses_w2c),
             keyframe_time_indices=np.asarray(self.keyframe_time_indices),
             **params)
-        np.save(os.path.join(self.eval_dir,
-                             f"keyframe_time_indices{time_idx}.npy"),
-                np.asarray(self.keyframe_time_indices))
+        atomic_save_npy(os.path.join(self.eval_dir,
+                                     f"keyframe_time_indices{time_idx}.npy"),
+                        np.asarray(self.keyframe_time_indices))
         # keyframe buffer (images + poses): without it a resumed run has
         # no mapping window / H_train (the reference reloads keyframes on
         # resume, tester:2745-2800)
         if len(self.keyframes):
             kf = self.keyframes.state_dict()
-            np.savez(
+            atomic_savez(
                 os.path.join(self.eval_dir, "keyframes.npz"),
                 colors=np.stack(kf["colors"]).astype(np.float16),
                 depths=np.stack(kf["depths"]).astype(np.float16),

@@ -693,10 +693,11 @@ class AstarPlanner:
 
     # -- persistence (reference astar.py:185-199) ---------------------------
     def save(self, path: str):
-        np.savez_compressed(path, occ_map=self._occ_np(),
-                            map_center=self.map_center,
-                            grid_dim=self.grid_dim, frame_idx=self.frame_idx,
-                            cam_pos=self.cam_pos, cam_height=self.cam_height)
+        from ..utils.io import atomic_savez
+        atomic_savez(path, compressed=True, occ_map=self._occ_np(),
+                     map_center=self.map_center,
+                     grid_dim=self.grid_dim, frame_idx=self.frame_idx,
+                     cam_pos=self.cam_pos, cam_height=self.cam_height)
 
     def load(self, path: str):
         d = np.load(path)

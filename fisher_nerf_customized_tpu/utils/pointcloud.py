@@ -215,10 +215,11 @@ class GlobalPointCloud:
         pts = self.get()                       # drains pending device work
         cols = np.concatenate(self.colors) if self.colors else None
         # uncompressed: in-loop checkpoints pay this write synchronously
-        np.savez(path, points=pts,
-                            colors=(cols if cols is not None
-                                    else np.zeros((0, 3), np.float32)),
-                            truncated=self.truncated_points)
+        from .io import atomic_savez
+        atomic_savez(path, points=pts,
+                     colors=(cols if cols is not None
+                             else np.zeros((0, 3), np.float32)),
+                     truncated=self.truncated_points)
 
     def load(self, path: str):
         d = np.load(path)

@@ -8,7 +8,13 @@
 #      in-process by FNC_STARTUP_WATCHDOG_S (fast exit 86),
 #   2. mid-run wedge  — RPC stream freezes later; detected here by a
 #      frozen /proc/<pid>/io rchar counter (a healthy client streams
-#      device RPCs continuously; utime is NOT reliable — it creeps).
+#      device RPCs continuously).  utime alone cannot distinguish a
+#      wedge (it creeps ~1s/poll even when futex-blocked) — but a
+#      CPU-BURNING process with frozen rchar is an XLA compile, not a
+#      wedge, so high utime delta vetoes the stall counter.  A wedge
+#      that spins CPU instead of futex-blocking falls through this
+#      guard and is bounded only by the wrapped command's own
+#      `timeout N` — accepted: never observed on real hardware.
 #
 # The wrapped command must be resumable (the CLI episode runner resumes
 # from its latest params*.npz via --resume --checkpoint; sweep cells
@@ -28,6 +34,9 @@ LOG=${WATCHDOG_LOG:-/tmp/watchdog_run.log}
 STARTUP_S=${FNC_STARTUP_WATCHDOG_S:-150}
 POLL_S=${WATCHDOG_POLL_S:-40}
 STALL_POLLS=${WATCHDOG_STALL_POLLS:-3}
+# utime in /proc/<pid>/stat is in clock ticks; derive the tick rate
+# instead of hardcoding USER_HZ=100
+HZ=$(getconf CLK_TCK 2>/dev/null); HZ=${HZ:-100}
 DEADLINE=$(( $(date +%s) + BUDGET_S ))
 ATTEMPT=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
@@ -49,10 +58,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     U=$(awk '{print $14}' "/proc/$PYPID/stat" 2>/dev/null)
     # frozen rchar alone can be a long XLA compile (pure CPU, no device
     # RPCs); a true wedge is futex-blocked — rchar frozen AND (almost) no
-    # CPU.  Allow up to ~1s CPU/poll of creep (observed on real wedges).
+    # CPU.  Allow up to ~3s CPU/poll of creep (observed on real wedges);
+    # threshold in ticks = seconds * CLK_TCK.
     CPU_OK=0
     if [ -n "$U" ] && [ "$LASTU" -ge 0 ] && \
-       [ $((U - LASTU)) -gt $((POLL_S * 3)) ]; then CPU_OK=1; fi
+       [ $((U - LASTU)) -gt $((3 * HZ)) ]; then CPU_OK=1; fi
     LASTU=${U:-$LASTU}
     if [ "$R" = "$LASTR" ] && [ "$CPU_OK" = 0 ]; then
       STALL=$((STALL+1))
