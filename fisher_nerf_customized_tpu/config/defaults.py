@@ -156,6 +156,9 @@ def get_cfg_defaults() -> ConfigNode:
         shortcut_path=True,
         planner_backend="sweep",   # jitted whole-grid relaxation (one field
                                    # serves every goal); "astar" = host A*
+        clearance_m=-1.0,          # C-space obstacle inflation radius;
+                                   # -1 = auto from the sim agent radius,
+                                   # 0 = off (raw reference behavior)
         frontier_select_method="largest",
     ))
 

@@ -39,10 +39,15 @@ class ActiveMapper:
                  eval_dir: str | None = None, seed: int = 0,
                  traj_actions=None, object_scene: bool = False,
                  dynamic_scene: bool = False, known_env_points=None,
-                 dino_gate: bool = False, dino_weights: str | None = None):
+                 dino_gate: bool = False, dino_weights: str | None = None,
+                 scene_id: str | None = None):
         self.cfg = cfg
         self.sim = sim
         self.scene = scene                    # BoxScene (GT access) or None
+        # recorded artifact header (reference metric_data YAML settings
+        # block carries the real scene name, FisherRF.yaml:1-5)
+        self.scene_id = scene_id or os.path.basename(eval_dir or "") \
+            or "fake_scene"
         self.policy_name = policy_name or str(cfg.policy.name)
         self.eval_dir = eval_dir or os.path.join(cfg.workdir, cfg.run_name)
         os.makedirs(self.eval_dir, exist_ok=True)
@@ -72,15 +77,21 @@ class ActiveMapper:
                 self._dino_extractor = PatchDescriptorExtractor()
         self.criterion = str(cfg.criterion)
         self.object_metrics = MetricsRecorder(f"{cfg.criterion}_OA",
-                                              "fake_scene")
+                                              self.scene_id)
 
         self.slam = GaussianSLAM(cfg, eval_dir=self.eval_dir)
         self.planner = AstarPlanner(cfg, eval_dir=self.eval_dir, seed=seed)
+        # C-space clearance from the embodied agent radius (clearance_m=-1
+        # auto mode; see planning/planner.py) — the sim scene knows it
+        agent_r = getattr(scene, "agent_radius",
+                          getattr(sim, "agent_radius", 0.0))
+        if agent_r:
+            self.planner.set_clearance(float(agent_r))
         self.queue: deque[int] = deque()
         self.rng = np.random.default_rng(seed)
         self.global_pcl = GlobalPointCloud(keep_ratio=0.05, seed=seed)
         self._obj_pcl_parts: list[np.ndarray] = []
-        self.metrics = MetricsRecorder(self.policy_name, "fake_scene")
+        self.metrics = MetricsRecorder(self.policy_name, self.scene_id)
         self.traj_actions = list(traj_actions) if traj_actions else None
 
         self.forward_step = float(cfg.forward_step_size)
@@ -88,7 +99,8 @@ class ActiveMapper:
         self.queue_size = int(cfg.policy.planning_queue_size)
         self.max_steps = int(cfg.num_frames)
         self.checkpoint_interval = int(cfg.checkpoint_interval)
-        self.stuck_count = 0
+        self.stuck_count = 0      # consecutive blocked forwards
+        self.stuck_total = 0      # lifetime blocked forwards (recorded)
         self.last_goal = None
         # pipelined planning (stage-1 dispatch at a queue-low watermark)
         self.pipeline_planning = bool(cfg.tpu.get("pipeline_planning", False))
@@ -627,11 +639,19 @@ class ActiveMapper:
                 obs = self.sim.step(action)
             # stuck detection (reference tester:1144-1172): inject an
             # obstacle cell one step ahead so the replan routes around the
-            # unseen blocker instead of re-planning the same path
+            # unseen blocker instead of re-planning the same path.
+            # The fatal budget counts CONSECUTIVE blocked forwards (a
+            # successful move resets it): the reference's cumulative
+            # budget assumes habitat's navmesh-clearance paths where
+            # collisions are rare, but a long episode in doorway-heavy
+            # scenes legitimately clips a few frames over 2000 steps and
+            # must not die at 10 lifetime collisions (r4 config-4 failure).
+            # stuck_total is recorded for parity visibility.
             if action == 1:
                 moved = np.linalg.norm(obs["c2w"][:3, 3] - prev_pos)
                 if moved < 1e-3:
                     self.stuck_count += 1
+                    self.stuck_total += 1
                     fwd = obs["c2w"][:3, :3] @ np.array([0.0, 0.0, 1.0])
                     ahead = (obs["c2w"][:3, 3]
                              + fwd * max(self.forward_step,
@@ -641,6 +661,8 @@ class ActiveMapper:
                     if self.stuck_count > 10:
                         done_reason = "stuck"
                         break
+                else:
+                    self.stuck_count = 0
 
             # held-out PSNR/depth-MAE curve on a fixed seeded pose set
             # (cfg.eval_every > 0 enables it; diagnoses late-episode map
@@ -663,7 +685,9 @@ class ActiveMapper:
                     if self._inc_recon is None:
                         from .eval import IncrementalReconMetric
                         self._inc_recon = IncrementalReconMetric(
-                            recon_gt_points, 0.05)
+                            recon_gt_points, 0.05,
+                            surface_dist_fn=getattr(
+                                self.scene, "surface_distance", None))
                     new_pts, self._pcl_cursor = self.global_pcl.get_new(
                         self._pcl_cursor)
                     m = self._inc_recon.update(new_pts)
@@ -706,7 +730,10 @@ class ActiveMapper:
                 on_step(t, obs)
             t += 1
 
-        result = dict(steps=t, done_reason=done_reason,
+        result = dict(scene=self.scene_id, policy=self.policy_name,
+                      max_steps=self.max_steps,
+                      steps=t, done_reason=done_reason,
+                      stuck_total=self.stuck_total,
                       n_gaussians=self.slam.n_active,
                       n_keyframes=len(self.slam.keyframes),
                       timing=self.timer.summary())
@@ -716,10 +743,20 @@ class ActiveMapper:
                 hasattr(self.sim, "render_at"):
             # reference protocol: 2000 uniform navigable poses
             # (tester:1372-1393) + PSNR scatter map (tester:1531-1556)
+            seen_fn = None
+            if self.habvis is not None:
+                hv = self.habvis
+
+                def seen_fn(x, z, _hv=hv):
+                    cx, cz = _hv._to_cell(x, z)
+                    gz, gx = _hv.fow_mask.shape
+                    return bool(0 <= cz < gz and 0 <= cx < gx
+                                and _hv.fow_mask[cz, cx])
             nav_eval = eval_navigation(self.slam, self.sim, self.scene,
                                        n_poses=n_eval_poses or 2000,
                                        cam_height=float(c2w[1, 3]),
-                                       out_dir=self.eval_dir)
+                                       out_dir=self.eval_dir,
+                                       seen_fn=seen_fn)
             result["eval"] = {k: v for k, v in nav_eval.items()
                               if k != "per_pose"}
             # per-pose dump + results txt (reference tester:1320-1325
@@ -735,7 +772,9 @@ class ActiveMapper:
         if recon_gt_points is not None:
             est = self.global_pcl.get()
             result["recon"] = accuracy_comp_ratio_from_pcl(
-                est, recon_gt_points, 0.05)
+                est, recon_gt_points, 0.05,
+                surface_dist_fn=getattr(self.scene, "surface_distance",
+                                        None))
             result["auc"] = self.metrics.auc()
         # final curve dump (reference tester:1233-1289 writes the metric
         # yaml as it goes; here once at episode end + at checkpoints) —
@@ -763,6 +802,7 @@ class ActiveMapper:
             self.object_metrics.dump(
                 os.path.join(self.eval_dir, "object_metrics_curve.yaml"))
         extra = dict(t=int(t), stuck_count=int(self.stuck_count),
+                     stuck_total=int(self.stuck_total),
                      obj_pcl=self.global_obj_pcl,
                      resume_t=int(t + 1 if resume_t is None else resume_t),
                      sim_c2w=(np.zeros((0, 4, 4), np.float32)
@@ -829,6 +869,8 @@ class ActiveMapper:
         if os.path.exists(ep_path):
             ep = np.load(ep_path)
             self.stuck_count = int(ep["stuck_count"])
+            self.stuck_total = int(ep["stuck_total"]) \
+                if "stuck_total" in ep else self.stuck_count
             if "obj_pcl" in ep and len(ep["obj_pcl"]):
                 self._obj_pcl_parts = [np.asarray(ep["obj_pcl"], np.float32)]
             self.queue = deque(int(a) for a in ep["queue"])

@@ -26,10 +26,14 @@ class FrontierNavigator:
         self.scene = scene
         self.eval_dir = eval_dir or os.path.join(cfg.workdir, cfg.run_name)
         os.makedirs(self.eval_dir, exist_ok=True)
+        self.scene_id = os.path.basename(self.eval_dir) or "fake_scene"
         self.planner = AstarPlanner(cfg, eval_dir=self.eval_dir, seed=seed)
+        agent_r = getattr(scene, "agent_radius", 0.0)
+        if agent_r:
+            self.planner.set_clearance(float(agent_r))
         self.queue: deque[int] = deque()
         self.global_pcl = GlobalPointCloud(keep_ratio=0.05, seed=seed)
-        self.metrics = MetricsRecorder("frontier", "fake_scene")
+        self.metrics = MetricsRecorder("frontier", self.scene_id)
         self.forward_step = float(cfg.forward_step_size)
         self.turn_angle = float(cfg.turn_angle)
         self.queue_size = int(cfg.policy.planning_queue_size)
@@ -91,21 +95,30 @@ class FrontierNavigator:
             action = self.queue.popleft()
             prev = c2w[:3, 3].copy()
             obs = self.sim.step(action)
-            if action == 1 and np.linalg.norm(obs["c2w"][:3, 3] - prev) < 1e-3:
-                self.stuck_count += 1
-                self.queue.clear()
-                if self.stuck_count > 10:
-                    done_reason = "stuck"
-                    break
+            if action == 1:
+                if np.linalg.norm(obs["c2w"][:3, 3] - prev) < 1e-3:
+                    self.stuck_count += 1
+                    self.queue.clear()
+                    if self.stuck_count > 10:
+                        done_reason = "stuck"
+                        break
+                else:
+                    # consecutive budget (see ActiveMapper stuck note)
+                    self.stuck_count = 0
             if recon_gt_points is not None and t % 25 == 0:
-                m = accuracy_comp_ratio_from_pcl(self.global_pcl.get(),
-                                                 recon_gt_points, 0.05)
+                m = accuracy_comp_ratio_from_pcl(
+                    self.global_pcl.get(), recon_gt_points, 0.05,
+                    surface_dist_fn=getattr(self.scene, "surface_distance",
+                                            None))
                 self.metrics.record(t, **m)
             t += 1
 
-        result = dict(steps=t, done_reason=done_reason)
+        result = dict(scene=self.scene_id, policy="frontier",
+                      steps=t, done_reason=done_reason)
         if recon_gt_points is not None:
             result["recon"] = accuracy_comp_ratio_from_pcl(
-                self.global_pcl.get(), recon_gt_points, 0.05)
+                self.global_pcl.get(), recon_gt_points, 0.05,
+                surface_dist_fn=getattr(self.scene, "surface_distance",
+                                        None))
             result["auc"] = self.metrics.auc()
         return result

@@ -195,13 +195,50 @@ class BoxScene:
         add_box(self.room_lo, self.room_hi, True)
         for lo, hi in self.obstacles:
             add_box(lo, hi, False)
-        areas = np.array([np.linalg.norm(np.cross(u, v)) for _, u, v in faces])
+        origins = np.stack([f[0] for f in faces])
+        e_u = np.stack([f[1] for f in faces])
+        e_v = np.stack([f[2] for f in faces])
+        areas = np.linalg.norm(np.cross(e_u, e_v), axis=1)
         probs = areas / areas.sum()
         idx = rng.choice(len(faces), size=n, p=probs)
-        us, vs = rng.uniform(size=(2, n))
-        pts = np.stack([faces[i][0] + us[k] * faces[i][1] + vs[k] * faces[i][2]
-                        for k, i in enumerate(idx)])
+        us, vs = rng.uniform(size=(2, n, 1))
+        pts = origins[idx] + us * e_u[idx] + vs * e_v[idx]
         return pts.astype(np.float32)
+
+    def surface_area(self) -> float:
+        """Total surface area (m^2) of all box faces — scales the GT
+        sample count so NN spacing stays well under the 5 cm metric
+        threshold on large scenes (r4 verdict: a fixed 100k cloud on a
+        ~700 m^2 apartment has ~2.5 cm+ spacing artifacts)."""
+        def box_area(lo, hi):
+            d = np.asarray(hi, np.float64) - np.asarray(lo, np.float64)
+            return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
+        area = box_area(self.room_lo, self.room_hi)
+        for lo, hi in self.obstacles:
+            area += box_area(lo, hi)
+        return float(area)
+
+    def surface_distance(self, pts: np.ndarray) -> np.ndarray:
+        """EXACT distance from each point to the nearest box surface
+        (|SDF| of each axis-aligned box, min over boxes).  Replaces the
+        est->sampled-GT NN distance in accuracy/FPR metrics: sampled-GT
+        sparsity biased acc_distance by the GT NN spacing (the r4
+        config-4 run read 9.3 cm acc / 81 % FPR purely from a 100k-point
+        GT on a multi-room scene).  Analytic distance has no sampling
+        floor.  Like the reference's full-GLB sampling
+        (scripts/evaluation.py:135-168), buried faces (wall interiors)
+        count as surface — same optimism on both sides of the parity."""
+        p = np.asarray(pts, np.float64).reshape(-1, 3)
+        best = np.full(len(p), np.inf)
+        boxes = [(self.room_lo, self.room_hi)] + list(self.obstacles)
+        for lo, hi in boxes:
+            lo = np.asarray(lo, np.float64)
+            hi = np.asarray(hi, np.float64)
+            q = np.abs(p - (lo + hi) / 2.0) - (hi - lo) / 2.0
+            outside = np.linalg.norm(np.maximum(q, 0.0), axis=1)
+            inside = np.minimum(np.max(q, axis=1), 0.0)
+            np.minimum(best, np.abs(outside + inside), out=best)
+        return best.astype(np.float64)
 
     def gt_free_map(self, cell_size: float, grid_dim, map_center) -> np.ndarray:
         """Top-down free-space grid for 2D coverage eval (analog of

