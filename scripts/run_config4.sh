@@ -2,23 +2,25 @@
 # One attempt of the 2000-step config-4 blessed-protocol episode
 # (mp3d_gaussian_FR_eccv_gaussians on the 7x7 procedural apartment —
 # BASELINE.json configs[3]; ref tester_gaussians_navigation.py:1372-1491).
-# Resumes from the latest params*.npz checkpoint if one exists, so the
-# wedge-resilient runner (scripts/run_with_watchdog.sh) can restart it
-# across axon tunnel wedges.  Usage:
+# Resumes from a checkpoint if one exists; ActiveMapper.resume() itself
+# redirects to the params file named by the episode_state.npz commit
+# record and validates it loads, so the file picked here is only a
+# trigger (advisor r4: torn/newest-vs-committed checkpoint findings).
+# Usage:
 #   scripts/run_with_watchdog.sh \
-#     artifacts/r4/config4_2000/fake_apartment7x7_0/result.json \
-#     3000 scripts/run_config4.sh
+#     artifacts/r5/config4_2000/fake_apartment7x7_0/result.json \
+#     6000 scripts/run_config4.sh
 set -u
 cd "$(dirname "$0")/.."
-DIR=artifacts/r4/config4_2000/fake_apartment7x7_0
+DIR=${CONFIG4_DIR:-artifacts/r5/config4_2000/fake_apartment7x7_0}
 CK=$(ls -v "$DIR"/params*.npz 2>/dev/null | tail -1)
 EXTRA=""
 [ -n "$CK" ] && EXTRA="--resume --checkpoint $CK"
-exec timeout 3600 python main.py \
+exec timeout "${CONFIG4_ATTEMPT_S:-3600}" python main.py \
   --name config4_2000 \
   --slam_config configs/mp3d_gaussian_FR_eccv_gaussians.yaml \
   --dataset fake --dataset_split val --sim fake \
   --scenes_list fake_apartment7x7_0 \
   --max_steps 2000 --eval_every 100 \
-  --log_dir artifacts/r4 --seed 0 \
+  --log_dir "$(dirname "$(dirname "$DIR")")" --seed 0 \
   --set checkpoint_interval 100 $EXTRA

@@ -258,3 +258,109 @@ def test_incremental_recon_matches_oneshot():
     for k in m_ref:
         np.testing.assert_allclose(m_inc[k], m_ref[k], rtol=1e-6,
                                    err_msg=k)
+
+
+# -- round 5: batched eval renders, seen flags, atomic checkpoints ----------
+
+def test_render_at_poses_matches_single(tmp_path):
+    """One vmapped launch == per-pose launches (eval fast path parity)."""
+    cfg = episode_cfg(tmp_path, steps=8)
+    sim, scene = make_sim()
+    m = ActiveMapper(cfg, sim, scene=scene, seed=0)
+    m.test_navigation(n_eval_poses=0)
+    from fisher_nerf_customized_tpu.engine.eval import uniform_eval_poses
+    poses = uniform_eval_poses(scene, 5, cam_height=1.25)
+    batch = m.slam.render_at_poses(poses)
+    for i, c2w in enumerate(poses):
+        one = m.slam.render_at_pose(c2w)
+        np.testing.assert_allclose(np.asarray(batch["render"][i]),
+                                   np.asarray(one["render"]),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(batch["depth"][i]),
+                                   np.asarray(one["depth"]), atol=2e-5)
+
+
+def test_eval_navigation_seen_flags(tmp_path):
+    """seen_fn threads per-pose flags + seen-only aggregates."""
+    cfg = episode_cfg(tmp_path, steps=8)
+    sim, scene = make_sim()
+    m = ActiveMapper(cfg, sim, scene=scene, seed=0)
+    m.test_navigation(n_eval_poses=0)
+    from fisher_nerf_customized_tpu.engine.eval import eval_navigation
+    out = eval_navigation(m.slam, sim, scene, n_poses=12, cam_height=1.25,
+                          seen_fn=lambda x, z: x > 0)
+    assert all("seen" in row for row in out["per_pose"])
+    assert "psnr_seen" in out and "n_seen" in out
+    seen_psnr = [r["psnr"] for r in out["per_pose"] if r["seen"]]
+    if seen_psnr:
+        np.testing.assert_allclose(out["psnr_seen"], np.mean(seen_psnr),
+                                   rtol=1e-6)
+
+
+def test_batched_eval_matches_render_metrics(tmp_path):
+    """_batch_render_metrics == render_metrics per pose."""
+    from fisher_nerf_customized_tpu.engine.eval import (
+        _batch_render_metrics, render_metrics)
+    rng = np.random.default_rng(0)
+    r = rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32)
+    g = rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32)
+    d = rng.uniform(0.1, 5, (3, 32, 32)).astype(np.float32)
+    gd = rng.uniform(0, 5, (3, 32, 32)).astype(np.float32)
+    gd[0, :8] = 0.0                         # invalid-depth masking
+    ps, ss, lp, mae = _batch_render_metrics(r, g, d, gd)
+    for i in range(3):
+        ref = render_metrics(r[i], g[i], d[i], gd[i])
+        np.testing.assert_allclose(float(ps[i]), ref["psnr"], rtol=1e-5)
+        np.testing.assert_allclose(float(ss[i]), ref["ssim"], rtol=1e-5)
+        np.testing.assert_allclose(float(lp[i]), ref["lpips_proxy"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(mae[i]), ref["depth_mae"],
+                                   rtol=1e-5)
+
+
+def test_resume_prefers_committed_checkpoint(tmp_path):
+    """A params file NEWER than the episode_state commit record is
+    ignored: resume pairs the state with params{ep['t']}."""
+    cfg = episode_cfg(tmp_path, steps=12)
+    cfg.checkpoint_interval = 6
+    sim, scene = make_sim()
+    m = ActiveMapper(cfg, sim, scene=scene, seed=0)
+    m.test_navigation(n_eval_poses=0)
+    ed = m.eval_dir
+    import glob, os
+    cks = sorted(glob.glob(os.path.join(ed, "params*.npz")),
+                 key=lambda p: int(p.split("params")[-1].split(".")[0]))
+    assert len(cks) >= 1
+    ep = np.load(os.path.join(ed, "episode_state.npz"))
+    committed = int(ep["t"])
+    # forge a NEWER params file that is garbage: a torn post-commit save
+    bogus = os.path.join(ed, f"params{committed + 999}.npz")
+    with open(bogus, "wb") as f:
+        f.write(b"truncated")
+    sim2, _ = make_sim()
+    m2 = ActiveMapper(cfg, sim2, scene=scene, seed=0, eval_dir=ed)
+    m2.resume(bogus)                        # must redirect, not crash
+    assert m2.slam.frame_idx >= 0
+
+
+def test_incremental_recon_with_surface_fn_matches_oneshot():
+    from fisher_nerf_customized_tpu.engine.eval import (
+        IncrementalReconMetric, accuracy_comp_ratio_from_pcl)
+    scene = BoxScene()
+    fn = scene.surface_distance
+    rng = np.random.default_rng(7)
+    gt = scene.sample_surface_points(4000)
+    batches = [scene.sample_surface_points(n, rng=np.random.default_rng(i))
+               + rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+               for i, n in enumerate((500, 900, 700))]
+    inc = IncrementalReconMetric(gt, 0.05, surface_dist_fn=fn)
+    for b in batches:
+        m_inc = inc.update(b)
+    m_ref = accuracy_comp_ratio_from_pcl(np.concatenate(batches), gt, 0.05,
+                                         surface_dist_fn=fn)
+    for k in m_ref:
+        np.testing.assert_allclose(m_inc[k], m_ref[k], rtol=1e-5,
+                                   err_msg=k)
+    # analytic accuracy of near-surface points must be ~ the noise scale,
+    # far below any GT-sampling floor
+    assert m_ref["acc_distance"] < 0.02

@@ -228,3 +228,99 @@ def test_sweep_multi_goal_reuses_field():
         path = search.plan(np.array(goal))
         assert len(path) >= 2
         assert np.linalg.norm(path[-1] - np.array(goal)[::-1]) < 3
+
+
+# -- round-5 clearance-aware C-space planning -------------------------------
+
+def _synthetic_planner(cell=0.05, dim=64):
+    """Planner with a hand-built occupancy map (no sim needed)."""
+    import jax.numpy as jnp
+    planner = make_planner(cell)
+    planner.grid_dim = np.array([dim, dim])
+    planner.map_center = np.zeros(2, np.float32)
+    planner.cam_height = 1.25
+    planner.cam_pos = np.array([dim // 2, dim // 2])
+    occ = np.zeros((3, dim, dim), np.float32)
+    occ[2] = 10.0                          # everything observed free
+    # wall across the middle with a 7-cell doorway
+    occ[2, 30:33, :] = 0.0
+    occ[1, 30:33, :] = 10.0
+    occ[1, 30:33, 28:35] = 0.0
+    occ[2, 30:33, 28:35] = 10.0
+    planner.occ_map = jnp.asarray(occ)
+    return planner
+
+
+def test_clearance_inflation_blocks_narrow_doorway():
+    """With C-space inflation wider than the doorway half-width the path
+    through the gap must disappear; with no clearance it exists."""
+    start = np.array([10, 31])
+    goal = np.array([54, 31])
+
+    p0 = _synthetic_planner()
+    p0.clearance_cells = 0
+    p0.setup_start(start, None, 0)
+    path0 = p0.planning(goal)
+    assert len(path0) > 0                  # passable without inflation
+
+    p4 = _synthetic_planner()
+    p4.clearance_cells = 4                 # 7-cell door < 2*4+path width
+    p4.setup_start(start, None, 0)
+    path4 = p4.planning(goal)
+    assert len(path4) == 0                 # C-space closes the doorway
+
+
+def test_clearance_passable_wide_doorway_keeps_margin():
+    """A 20-cell doorway stays passable under inflation and the path
+    keeps >= clearance cells away from observed obstacles."""
+    import jax.numpy as jnp
+    dim = 64
+    planner = make_planner(0.05)
+    planner.grid_dim = np.array([dim, dim])
+    planner.map_center = np.zeros(2, np.float32)
+    planner.cam_height = 1.25
+    planner.cam_pos = np.array([dim // 2, dim // 2])
+    occ = np.zeros((3, dim, dim), np.float32)
+    occ[2] = 10.0
+    occ[2, 30:33, :] = 0.0
+    occ[1, 30:33, :] = 10.0
+    occ[1, 30:33, 22:42] = 0.0             # 20-cell doorway
+    occ[2, 30:33, 22:42] = 10.0
+    planner.occ_map = jnp.asarray(occ)
+    planner.clearance_cells = 3
+    start = np.array([10, 31])
+    planner.setup_start(start, None, 0)
+    path = planner.planning(np.array([54, 31]))
+    assert len(path) > 0
+    occ_idx = np.asarray(jnp.argmax(planner.occ_map, 0))
+    wall_cells = np.argwhere(occ_idx == 1)
+    for x, z in path:                      # path rows are [x, z]
+        d = np.abs(wall_cells - np.array([z, x])).max(axis=1).min()
+        assert d >= 3, f"path cell ({x},{z}) within {d} of a wall"
+
+
+def test_goal_snapping_recovers_inflated_goal():
+    """A goal inside the inflated band (e.g. a frontier at the wall)
+    snaps to the nearest navigable cell instead of failing."""
+    planner = _synthetic_planner()
+    planner.clearance_cells = 3
+    planner.setup_start(np.array([10, 31]), None, 0)
+    # goal one cell from the wall: inside the inflated C-space band
+    path = planner.planning(np.array([27, 10]))
+    assert len(path) > 0
+    end = path[-1]                          # [x, z]
+    assert abs(int(end[1]) - 27) <= 8 and abs(int(end[0]) - 10) <= 8
+
+
+def test_surface_distance_exact_vs_dense_nn():
+    from fisher_nerf_customized_tpu.envs.fake_sim import BoxScene
+    s = BoxScene()
+    pts = s.sample_surface_points(2000)
+    assert s.surface_distance(pts).max() < 1e-5
+    gt = s.sample_surface_points(300000)
+    q = s.sample_navigable(np.random.default_rng(0), 32)
+    q3 = np.stack([q[:, 0], np.full(32, 1.2), q[:, 1]], 1)
+    from scipy.spatial import cKDTree
+    nn = cKDTree(gt).query(q3)[0]
+    assert np.abs(s.surface_distance(q3) - nn).max() < 5e-3
+    assert s.surface_area() > 0
