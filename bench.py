@@ -20,6 +20,7 @@ measured-vs-measured.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -408,6 +409,69 @@ def _mfu_extras(mapper, raster_fps, ms_per_pose, raster_args):
     return out
 
 
+def _config4_extras():
+    """Throughput-at-scale evidence from the newest completed config-4
+    artifact (VERDICT r4 next #3): per-window steps/s computed from the
+    episode's metrics JSONL wall-clock column, plus `late_rate` — the
+    rate over the FINAL windows at the episode's largest map — reported
+    next to the 240-step bench median, which measures a young small map.
+    Returns None when no config-4 artifact exists."""
+    import glob
+    cands = sorted(glob.glob(
+        "artifacts/r*/config4_2000/*/config4_2000_metrics.jsonl"))
+    if not cands:
+        return None
+    path = cands[-1]
+    rows = []
+    with open(path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "t" in r and "step" in r:
+                rows.append(r)
+    # keep the last record per step (resumed episodes re-log a window)
+    by_step = {}
+    for r in rows:
+        by_step[int(r["step"])] = r
+    rows = [by_step[s] for s in sorted(by_step)]
+    if len(rows) < 3:
+        return None
+    curve = []
+    for a, b in zip(rows[:-1], rows[1:]):
+        dt = b["t"] - a["t"]
+        ds = b["step"] - a["step"]
+        if dt <= 0 or ds <= 0 or dt > 120 * ds:   # resume gaps excluded
+            continue
+        curve.append(dict(step=int(b["step"]), rate=round(ds / dt, 3),
+                          n_gaussians=int(b.get("n_gaussians", 0))))
+    if not curve:
+        return None
+    tail = curve[-max(2, len(curve) // 10):]
+    late = float(np.median([c["rate"] for c in tail]))
+    rj = os.path.join(os.path.dirname(path), "result.json")
+    result = {}
+    if os.path.exists(rj):
+        with open(rj) as f:
+            result = json.load(f)
+    return dict(
+        source=path,
+        episode_steps=int(result.get("steps", curve[-1]["step"])),
+        done_reason=result.get("done_reason"),
+        coverage_2d_pct=result.get("coverage_2d_pct"),
+        n_gaussians_final=int(result.get("n_gaussians",
+                                         curve[-1]["n_gaussians"])),
+        late_rate=round(late, 3),
+        late_window_steps=[tail[0]["step"], tail[-1]["step"]],
+        late_n_gaussians=int(tail[-1]["n_gaussians"]),
+        # decimated rate-vs-map-size curve (every ~100 steps)
+        rate_curve=[c for i, c in enumerate(curve)
+                    if i % max(1, len(curve) // 20) == 0
+                    or i == len(curve) - 1],
+    )
+
+
 def _load_prev_artifact():
     """Parse the newest BENCH_r*.json the driver recorded (its `tail`
     holds this script's JSON line).  Returns the decoded dict or None.
@@ -738,6 +802,10 @@ def main():
             # attributes the residual per-step time beyond the two event
             # phases (sim stepping, occupancy, pcl bookkeeping, ...)
             phase_totals_s=phase_totals,
+            # steps/s at the config-4 episode's end-of-episode map size
+            # (the honest predictor of 2000-step behavior; None until a
+            # config-4 artifact exists)
+            config4_at_scale=_config4_extras(),
             baseline_note="vs documented estimate 0.5 steps/s (reference "
                           "publishes no throughput numbers)",
         ))))
