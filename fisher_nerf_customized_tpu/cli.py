@@ -175,8 +175,15 @@ def make_sim(args, cfg, scene_id: str):
         scene = BoxScene.default(seed=seed)
     obj = None
     if getattr(args, "object_scene", False):
+        # random NAVIGABLE spawn (reference tester:331-399 places the
+        # object at a random navigable point): the legacy fixed (0, 1.8)
+        # sits inside a wall on multi-room apartment scenes
+        start = (0.0, 1.8)
+        if not scene.is_navigable((start[0], 0.0, start[1])):
+            start = tuple(scene.sample_navigable(
+                np.random.default_rng(seed), 1)[0])
         obj = SimObject(scene, semantic_id=100, size=(0.4, 1.2, 0.4),
-                        start_xz=(0.0, 1.8), seed=seed)
+                        start_xz=start, seed=seed)
     sim = FakeSim(scene, cam, forward_step=float(cfg.forward_step_size),
                   turn_angle=float(cfg.turn_angle), seed=args.seed,
                   dynamic_object=obj,
