@@ -524,6 +524,12 @@ class ActiveMapper:
     # -- main loop ----------------------------------------------------------
     def test_navigation(self, n_eval_poses: int | None = None,
                         recon_gt_points=None, on_step=None) -> dict:
+        # heartbeat watchdog (FNC_STEP_WATCHDOG_S): arms here, beats each
+        # loop iteration below — a tunnel wedge at ANY blocked device op
+        # (including episode init) exits WEDGE_EXIT_CODE within the
+        # timeout so the resumable runner recycles in seconds
+        from ..utils.platform import progress_beat
+        progress_beat()
         if getattr(self, "_resume_t", None) is not None:
             # resumed episode: state restored by resume(); continue mid-run
             obs = self.sim.get_observations()
@@ -535,6 +541,7 @@ class ActiveMapper:
         c2w = obs["c2w"]
         done_reason = "max_steps"
         while t < self.max_steps:
+            progress_beat()
             if self.cm.should_exit():
                 # graceful preemption: checkpoint then requeue
                 # (reference tester:804-805 + cluster_manager.py:60-65).

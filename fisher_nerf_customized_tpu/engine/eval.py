@@ -165,10 +165,12 @@ def eval_navigation(slam, sim, scene, n_poses: int = 2000,
     reports seen-only aggregates next to all-pose ones, mirroring the
     reference's scatter/coverage split (tester:1498-1556) — without it a
     27 %-coverage episode's all-pose PSNR reads as 'rendering quality'."""
+    from ..utils.platform import progress_beat
     poses = uniform_eval_poses(scene, n_poses, cam_height, seed)
     per_pose = []
     batched = hasattr(slam, "render_at_poses") and _LPIPS_PARAMS is None
     for i in range(0, n_poses, chunk):
+        progress_beat()
         batch = poses[i:i + chunk]
         gts = [sim.render_at(c2w) for c2w in batch]
         gt_rgb = np.stack([np.asarray(g[0]) for g in gts])
@@ -435,7 +437,12 @@ def _nn_dists(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
     outs = [knn(jnp.asarray(qp[i:i + qb]), rp, k=1, ref_mask=mask,
                 chunk=32768)[0]
             for i in range(0, len(qp), qb)]        # async dispatches
-    d = np.concatenate([np.asarray(o) for o in outs])
+    from ..utils.platform import progress_beat
+    ds = []
+    for o in outs:                 # pulls; beat per block (wedge watchdog)
+        ds.append(np.asarray(o))
+        progress_beat()
+    d = np.concatenate(ds)
     return d[: len(q), 0].astype(np.float64)
 
 

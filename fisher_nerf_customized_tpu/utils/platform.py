@@ -78,6 +78,59 @@ def startup_probe() -> None:
     done.set()
 
 
+class ProgressWatchdog:
+    """Heartbeat watchdog for long episodes: the step loop (and the eval
+    chunk loop) call `beat()`; if no beat lands within the timeout the
+    process exits WEDGE_EXIT_CODE.  Catches mid-run tunnel wedges at the
+    exact blocked op in ~timeout seconds, where the supervisor's
+    frozen-rchar heuristic needs several 40 s polls and cannot tell a
+    wedge from a long remote compile.  Opt-in via FNC_STEP_WATCHDOG_S
+    (disarmed: beat() is free).  Resumable runners (run_config4.sh /
+    run_with_watchdog.sh) restart from the last checkpoint."""
+
+    _armed = None
+
+    def __init__(self, timeout_s: float):
+        import time
+        self.timeout_s = float(timeout_s)
+        self._time = time.monotonic
+        self._last = self._time()
+        t = threading.Thread(target=self._watch, daemon=True,
+                             name="step-watchdog")
+        t.start()
+
+    def _watch(self):
+        import time as _t
+        while True:
+            _t.sleep(min(10.0, self.timeout_s / 3))
+            age = self._time() - self._last
+            if age > self.timeout_s:
+                sys.stderr.write(
+                    f"[step-watchdog] no progress beat in {age:.0f}s "
+                    f"(limit {self.timeout_s:.0f}s) — tunnel wedge, "
+                    f"exiting {WEDGE_EXIT_CODE}\n")
+                sys.stderr.flush()
+                os._exit(WEDGE_EXIT_CODE)
+
+    def beat(self):
+        self._last = self._time()
+
+
+def progress_beat():
+    """Heartbeat hook: arms the singleton on first call when
+    FNC_STEP_WATCHDOG_S is set; no-op otherwise."""
+    wd = ProgressWatchdog._armed
+    if wd is None:
+        env = os.environ.get("FNC_STEP_WATCHDOG_S")
+        if not env:
+            ProgressWatchdog._armed = False
+            return
+        wd = ProgressWatchdog._armed = ProgressWatchdog(float(env))
+    elif wd is False:
+        return
+    wd.beat()
+
+
 def pin_platform_from_env() -> str | None:
     """Apply FNC_PLATFORM/FNC_HOST_DEVICES if set; returns the platform
     pinned (or None).  Must run before any JAX backend initializes.

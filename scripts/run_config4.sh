@@ -16,6 +16,7 @@ DIR=${CONFIG4_DIR:-artifacts/r5/config4_2000/fake_apartment7x7_0}
 CK=$(ls -v "$DIR"/params*.npz 2>/dev/null | tail -1)
 EXTRA=""
 [ -n "$CK" ] && EXTRA="--resume --checkpoint $CK"
+export FNC_STEP_WATCHDOG_S=${FNC_STEP_WATCHDOG_S:-300}
 exec timeout "${CONFIG4_ATTEMPT_S:-3600}" python main.py \
   --name config4_2000 \
   --slam_config configs/mp3d_gaussian_FR_eccv_gaussians.yaml \
