@@ -172,14 +172,23 @@ def eval_navigation(slam, sim, scene, n_poses: int = 2000,
     for i in range(0, n_poses, chunk):
         progress_beat()
         batch = poses[i:i + chunk]
-        gts = [sim.render_at(c2w) for c2w in batch]
-        gt_rgb = np.stack([np.asarray(g[0]) for g in gts])
-        gt_depth = np.stack([np.asarray(g[1]) for g in gts])
+        if batched and hasattr(sim, "render_at_batch"):
+            # GT stays on device: 1 GT launch + 1 render launch + 1
+            # metric launch + 1 scalar pull per chunk (the per-pose GT
+            # pulls were the residual dispatch sink after the SLAM
+            # renders were batched)
+            gt_rgb_d, gt_depth_d = sim.render_at_batch(batch)
+            gt_rgb, gt_depth = None, None
+        else:
+            gts = [sim.render_at(c2w) for c2w in batch]
+            gt_rgb = np.stack([np.asarray(g[0]) for g in gts])
+            gt_depth = np.stack([np.asarray(g[1]) for g in gts])
+            gt_rgb_d = jnp.asarray(gt_rgb)
+            gt_depth_d = jnp.asarray(gt_depth)
         if batched:
             out = slam.render_at_poses(batch)              # one launch
             mets = jax.device_get(_batch_render_metrics(   # one launch
-                out["render"], jnp.asarray(gt_rgb),
-                out["depth"], jnp.asarray(gt_depth)))
+                out["render"], gt_rgb_d, out["depth"], gt_depth_d))
             rows = [dict(psnr=float(p), ssim=float(s), lpips_proxy=float(l),
                          depth_mae=float(m))
                     for p, s, l, m in zip(*mets)]
@@ -192,7 +201,8 @@ def eval_navigation(slam, sim, scene, n_poses: int = 2000,
                         np.savez(os.path.join(
                             out_dir, f"ssim_anomaly_{i + j}.npz"),
                             render=np.asarray(out["render"][j]),
-                            gt=gt_rgb[j], c2w=batch[j], ssim=m["ssim"])
+                            gt=np.asarray(gt_rgb_d[j]), c2w=batch[j],
+                            ssim=m["ssim"])
                     import logging
                     logging.getLogger(__name__).warning(
                         "per-pose SSIM %.3f outside [-1, 1]; inputs dumped",

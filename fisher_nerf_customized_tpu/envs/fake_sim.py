@@ -398,6 +398,16 @@ def _raycast_device(lo, hi, inward, seeds, c2w, camera: Camera):
     return jnp.clip(rgb, 0.0, 1.0), z_depth, best
 
 
+@functools.partial(jax.jit, static_argnames=("camera",))
+def _raycast_device_batch(lo, hi, inward, seeds, c2ws, camera: Camera):
+    """P-pose raycast in ONE launch (vmapped _raycast_device).  The
+    2000-pose eval protocol previously paid one GT-render launch + one
+    image pull per pose — with the batched SLAM renders this was the
+    remaining per-pose dispatch sink of eval_navigation."""
+    return jax.vmap(
+        lambda c: _raycast_device(lo, hi, inward, seeds, c, camera))(c2ws)
+
+
 def _raycast(boxes: _Boxes, c2w, camera: Camera):
     """Per-pixel nearest-hit AABB raycast.  Returns (rgb, z_depth, hit_id)
     as numpy (host-side observations, like habitat's)."""
@@ -593,6 +603,17 @@ class FakeSim:
         boxes, _ = self._boxes_now()
         rgb, depth, _hit = _raycast(boxes, np.asarray(c2w, np.float32),
                                     self.camera)
+        return rgb, depth
+
+    def render_at_batch(self, c2ws):
+        """GT renders for (P, 4, 4) poses in one launch; returns DEVICE
+        arrays (P, H, W, 3) rgb and (P, H, W) depth so eval metric
+        launches can consume them without a host round trip."""
+        boxes, _ = self._boxes_now()
+        rgb, depth, _best = _raycast_device_batch(
+            jnp.asarray(boxes.lo), jnp.asarray(boxes.hi),
+            jnp.asarray(boxes.inward), jnp.asarray(boxes.color_seed),
+            jnp.asarray(np.asarray(c2ws, np.float32)), self.camera)
         return rgb, depth
 
     def is_navigable(self, pos) -> bool:
