@@ -444,14 +444,20 @@ def _nn_dists(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
     mask = np.zeros((rb,), bool)
     mask[: len(r)] = True
     mask = jnp.asarray(mask)
-    outs = [knn(jnp.asarray(qp[i:i + qb]), rp, k=1, ref_mask=mask,
-                chunk=32768)[0]
-            for i in range(0, len(qp), qb)]        # async dispatches
+    # bounded in-flight bursts: dispatch B blocks, pull them, heartbeat.
+    # An unbounded dispatch loop can block inside ONE enqueue for minutes
+    # under device backpressure at multi-million-point clouds — beats
+    # then stop and the step watchdog kills a healthy process.
     from ..utils.platform import progress_beat
+    B = 8
     ds = []
-    for o in outs:                 # pulls; beat per block (wedge watchdog)
-        ds.append(np.asarray(o))
-        progress_beat()
+    for i0 in range(0, len(qp), qb * B):
+        outs = [knn(jnp.asarray(qp[i:i + qb]), rp, k=1, ref_mask=mask,
+                    chunk=32768)[0]
+                for i in range(i0, min(i0 + qb * B, len(qp)), qb)]
+        for o in outs:
+            ds.append(np.asarray(o))
+            progress_beat()
     d = np.concatenate(ds)
     return d[: len(q), 0].astype(np.float64)
 
