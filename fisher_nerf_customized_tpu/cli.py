@@ -203,7 +203,7 @@ def main(argv=None):
     # start: tunnel wedges during episode INIT / checkpoint RESUME are as
     # common as mid-run ones and must also recycle fast
     from .utils.platform import progress_beat
-    progress_beat()
+    progress_beat("cli:start")
     cfg = load_config(args)
     # multi-host process group (no-op on single host; reads
     # JAX_COORDINATOR_ADDRESS / SLURM env — parallel/distributed.py)
@@ -235,10 +235,10 @@ def main(argv=None):
                               dino_gate=getattr(args, "dino_gate", False),
                               dino_weights=getattr(args, "dino_weights",
                                                    None))
-        progress_beat()
+        progress_beat("cli:pre-resume")
         if args.resume and args.checkpoint:
             mapper.resume(args.checkpoint)
-        progress_beat()
+        progress_beat("cli:post-resume")
         gt = _sample_gt(scene)
         result = mapper.test_navigation(n_eval_poses=args.eval_poses,
                                         recon_gt_points=gt)

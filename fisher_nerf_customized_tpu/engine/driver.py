@@ -529,7 +529,7 @@ class ActiveMapper:
         # (including episode init) exits WEDGE_EXIT_CODE within the
         # timeout so the resumable runner recycles in seconds
         from ..utils.platform import progress_beat
-        progress_beat()
+        progress_beat("episode:start")
         if getattr(self, "_resume_t", None) is not None:
             # resumed episode: state restored by resume(); continue mid-run
             obs = self.sim.get_observations()
@@ -541,7 +541,7 @@ class ActiveMapper:
         c2w = obs["c2w"]
         done_reason = "max_steps"
         while t < self.max_steps:
-            progress_beat()
+            progress_beat(f"step:{t}")
             if self.cm.should_exit():
                 # graceful preemption: checkpoint then requeue
                 # (reference tester:804-805 + cluster_manager.py:60-65).

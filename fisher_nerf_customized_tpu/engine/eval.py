@@ -170,7 +170,7 @@ def eval_navigation(slam, sim, scene, n_poses: int = 2000,
     per_pose = []
     batched = hasattr(slam, "render_at_poses") and _LPIPS_PARAMS is None
     for i in range(0, n_poses, chunk):
-        progress_beat()
+        progress_beat(f"eval:{i}")
         batch = poses[i:i + chunk]
         if batched and hasattr(sim, "render_at_batch"):
             # GT stays on device: 1 GT launch + 1 render launch + 1
@@ -457,7 +457,7 @@ def _nn_dists(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
                 for i in range(i0, min(i0 + qb * B, len(qp)), qb)]
         for o in outs:
             ds.append(np.asarray(o))
-            progress_beat()
+            progress_beat("knn")
     d = np.concatenate(ds)
     return d[: len(q), 0].astype(np.float64)
 

@@ -95,6 +95,7 @@ class ProgressWatchdog:
         self.timeout_s = float(timeout_s)
         self._time = time.monotonic
         self._last = self._time()
+        self._tag = "armed"
         t = threading.Thread(target=self._watch, daemon=True,
                              name="step-watchdog")
         t.start()
@@ -107,18 +108,22 @@ class ProgressWatchdog:
             if age > self.timeout_s:
                 sys.stderr.write(
                     f"[step-watchdog] no progress beat in {age:.0f}s "
-                    f"(limit {self.timeout_s:.0f}s) — tunnel wedge, "
+                    f"(limit {self.timeout_s:.0f}s; last beat: "
+                    f"{self._tag}) — tunnel wedge, "
                     f"exiting {WEDGE_EXIT_CODE}\n")
                 sys.stderr.flush()
                 os._exit(WEDGE_EXIT_CODE)
 
-    def beat(self):
+    def beat(self, tag: str = ""):
         self._last = self._time()
+        if tag:
+            self._tag = tag
 
 
-def progress_beat():
+def progress_beat(tag: str = ""):
     """Heartbeat hook: arms the singleton on first call when
-    FNC_STEP_WATCHDOG_S is set; no-op otherwise."""
+    FNC_STEP_WATCHDOG_S is set; no-op otherwise.  `tag` names the call
+    site so a watchdog exit reports the last phase that made progress."""
     wd = ProgressWatchdog._armed
     if wd is None:
         env = os.environ.get("FNC_STEP_WATCHDOG_S")
@@ -128,7 +133,7 @@ def progress_beat():
         wd = ProgressWatchdog._armed = ProgressWatchdog(float(env))
     elif wd is False:
         return
-    wd.beat()
+    wd.beat(tag)
 
 
 def pin_platform_from_env() -> str | None:
