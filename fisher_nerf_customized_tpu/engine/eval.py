@@ -462,6 +462,20 @@ def _nn_dists(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
     return d[: len(q), 0].astype(np.float64)
 
 
+def _chunked_surface_dists(fn, pts, chunk: int = 200_000) -> np.ndarray:
+    """Analytic surface distances in bounded chunks with heartbeats: one
+    unchunked call on a multi-million-point cloud is minutes of host
+    numpy (points x boxes) with no beats — the step watchdog then kills
+    a healthy process (r5 config-4 attempt 8, last beat step:1925)."""
+    from ..utils.platform import progress_beat
+    outs = []
+    for i in range(0, len(pts), chunk):
+        outs.append(np.asarray(fn(pts[i:i + chunk])))
+        progress_beat("surface_dist")
+    return (np.concatenate(outs) if outs
+            else np.zeros((0,), np.float64))
+
+
 def accuracy_comp_ratio_from_pcl(est_pts: np.ndarray, gt_pts: np.ndarray,
                                  dist_thresh: float = 0.05,
                                  surface_dist_fn=None) -> dict:
@@ -477,7 +491,8 @@ def accuracy_comp_ratio_from_pcl(est_pts: np.ndarray, gt_pts: np.ndarray,
     if len(est) == 0 or len(gt) == 0:
         return dict(acc_distance=float("inf"), comp_distance=float("inf"),
                     completeness_ratio=0.0, fpr=1.0)
-    d_e2g = (surface_dist_fn(est) if surface_dist_fn is not None
+    d_e2g = (_chunked_surface_dists(surface_dist_fn, est)
+             if surface_dist_fn is not None
              else _nn_dists(est, gt))
     d_g2e = _nn_dists(gt, est)
     return dict(
@@ -511,10 +526,29 @@ class IncrementalReconMetric:
         self.acc_in = 0
         self.n_est = 0
 
+    def state_dict(self) -> dict:
+        """Running state for checkpointing: a resumed episode restores it
+        instead of re-scanning the full loaded cloud (which took minutes
+        of unbeatable host compute per resume attempt)."""
+        return dict(d_gt_min=self.d_gt_min.astype(np.float32),
+                    acc=np.asarray([self.acc_sum, float(self.acc_in),
+                                    float(self.n_est)], np.float64))
+
+    def load_state_dict(self, d) -> bool:
+        d_gt_min = np.asarray(d["d_gt_min"], np.float64)
+        if d_gt_min.shape != (len(self.gt),):
+            return False          # different GT cloud — start fresh
+        self.d_gt_min = d_gt_min
+        acc = np.asarray(d["acc"], np.float64)
+        self.acc_sum = float(acc[0])
+        self.acc_in = int(acc[1])
+        self.n_est = int(acc[2])
+        return True
+
     def update(self, new_est) -> dict:
         new_est = np.asarray(new_est, np.float32)
         if len(new_est):
-            d_e2g = (self.surface_dist_fn(new_est)
+            d_e2g = (_chunked_surface_dists(self.surface_dist_fn, new_est)
                      if self.surface_dist_fn is not None
                      else _nn_dists(new_est, self.gt))
             self.acc_sum += float(d_e2g.sum())
