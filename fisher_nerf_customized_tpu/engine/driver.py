@@ -110,6 +110,7 @@ class ActiveMapper:
         self._inc_recon_saved = None   # checkpointed running-metric state
         self._pcl_skip = 0             # points already in restored state
         self._pcl_cursor = 0
+        self._pcl_1000_saved = False   # mid-protocol PCL export latch
         self._eval_curve = None
         self.step_log: list[dict] = []
         self.cm = get_cluster_manager()
@@ -727,6 +728,13 @@ class ActiveMapper:
             if t > ck_off and t % self.checkpoint_interval == ck_off:
                 # post-step site: the sim already moved to step t+1's pose
                 self.save_checkpoint(t, sim_c2w=obs["c2w"], resume_t=t + 1)
+            if t >= 1000 and not self._pcl_1000_saved:
+                # mid-protocol PCL export (reference exports the global
+                # cloud at steps 1000 AND 2000, tester:504-506)
+                self._pcl_1000_saved = True
+                with self.timer.phase("pcl_export"):
+                    self.global_pcl.save_ply(os.path.join(
+                        self.eval_dir, "pointcloud", "global_pcl_1000.ply"))
             if on_step is not None:
                 on_step(t, obs)
             t += 1

@@ -17,11 +17,12 @@ CK=$(ls -v "$DIR"/params*.npz 2>/dev/null | tail -1)
 EXTRA=""
 [ -n "$CK" ] && EXTRA="--resume --checkpoint $CK"
 export FNC_STEP_WATCHDOG_S=${FNC_STEP_WATCHDOG_S:-300}
+NAME=$(basename "$(dirname "$DIR")")
 exec timeout "${CONFIG4_ATTEMPT_S:-3600}" python main.py \
-  --name config4_2000 \
+  --name "$NAME" \
   --slam_config configs/mp3d_gaussian_FR_eccv_gaussians.yaml \
   --dataset fake --dataset_split val --sim fake \
   --scenes_list fake_apartment7x7_0 \
   --max_steps 2000 --eval_every 100 \
   --log_dir "$(dirname "$(dirname "$DIR")")" --seed 0 \
-  --set checkpoint_interval 100 $EXTRA
+  --set checkpoint_interval 100 ${CONFIG4_EXTRA_SET:-} $EXTRA
