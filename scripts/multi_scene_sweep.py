@@ -91,6 +91,17 @@ def run_cell(policy: str, scene_seed: int, steps: int, workdir: str,
                           run_name=f"{policy}_{scene_id}", scene=scene,
                           img=img)
     mapper.metrics.header["scene"] = scene_id
+    # cell-level resume: tunnel wedges mid-cell must not restart the
+    # episode from step 0 (a ~12-min 1000-step cell vs ~20-min wedge
+    # MTBF makes completion a coin flip otherwise).  The driver's
+    # checkpoint group + episode_state commit record provide exact
+    # continuation; checkpoint_interval=100 bounds the replay.
+    mapper.checkpoint_interval = 100
+    import glob
+    cks = glob.glob(os.path.join(mapper.eval_dir, "params*.npz"))
+    if cks and os.path.exists(os.path.join(mapper.eval_dir,
+                                           "episode_state.npz")):
+        mapper.resume(max(cks, key=os.path.getmtime))
     # area-scaled GT density + analytic acc/FPR (threaded from scene by
     # the driver) — r4 verdict missing #2
     from fisher_nerf_customized_tpu.cli import _sample_gt
