@@ -140,9 +140,15 @@ def main():
 
     summary = {"steps": args.steps, "n_scenes": args.n_scenes,
                "scene_seeds": seeds, "policies": {}}
-    for policy in policies:
-        aucs, walls, done_seeds = [], [], []
-        for seed in seeds:
+    # SCENE-major order: both policies of a scene run back-to-back, so a
+    # budget/wedge-truncated sweep yields complete PAIRS (the paired sign
+    # test below needs pairs, not policy-major halves)
+    acc = {p: dict(aucs=[], walls=[], done_seeds=[]) for p in policies}
+    for seed in seeds:
+        for policy in policies:
+            aucs = acc[policy]["aucs"]
+            walls = acc[policy]["walls"]
+            done_seeds = acc[policy]["done_seeds"]
             # resume: a completed cell's YAML doubles as its cache, so a
             # babysitter can restart the sweep after a tunnel wedge
             # without repaying finished episodes (run_process.py rationale)
@@ -182,8 +188,11 @@ def main():
                                   steps=cell["steps"], done=cell["done"],
                                   wall_s=round(cell["wall_s"], 1))),
                   flush=True)
+    for policy in policies:
+        aucs = acc[policy]["aucs"]
         if not aucs:       # summarize_only with no finished cells
             continue
+        walls, done_seeds = acc[policy]["walls"], acc[policy]["done_seeds"]
         summary["policies"][REF_POLICY_NAME.get(policy, policy)] = dict(
             n_scenes_done=len(aucs),
             auc_mean=float(np.mean(aucs)), auc_std=float(np.std(aucs)),

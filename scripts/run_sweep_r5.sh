@@ -8,6 +8,9 @@
 set -u
 cd "$(dirname "$0")/.."
 export FNC_STEP_WATCHDOG_S=${FNC_STEP_WATCHDOG_S:-300}
+# blessed-protocol mapping budget (eccv config: 60 iters/event) — the
+# quality harness default of 120 doubles mapping cost per event
+export QUALITY_SET="${QUALITY_SET:-mapping.num_iters=60}"
 OUT=${SWEEP_OUT:-artifacts/r5/sweep}
 exec timeout "${SWEEP_ATTEMPT_S:-5400}" python scripts/multi_scene_sweep.py \
   --steps 1000 --policies gaussians_based,frontier --n_scenes 8 \
