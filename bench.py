@@ -418,10 +418,23 @@ def _config4_extras():
     Returns None when no config-4 artifact exists."""
     import glob
     cands = sorted(glob.glob(
-        "artifacts/r*/config4_2000/*/config4_2000_metrics.jsonl"))
+        "artifacts/r*/config4_2000*/*/*_metrics.jsonl"))
     if not cands:
         return None
-    path = cands[-1]
+
+    def rank(p):
+        rj = os.path.join(os.path.dirname(p), "result.json")
+        steps, completed = 0, 0
+        if os.path.exists(rj):
+            try:
+                with open(rj) as f:
+                    r = json.load(f)
+                steps = int(r.get("steps", 0))
+                completed = int(r.get("done_reason") == "max_steps")
+            except Exception:
+                pass
+        return (completed, steps, p)
+    path = max(cands, key=rank)
     rows = []
     with open(path) as f:
         for line in f:
