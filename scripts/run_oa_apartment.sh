@@ -17,6 +17,7 @@ for CRIT in ${1:-fisher topt dopt}; do
   CK=$(ls -v "$DIR"/params*.npz 2>/dev/null | tail -1)
   EXTRA=""
   [ -n "$CK" ] && EXTRA="--resume --checkpoint $CK"
+  FNC_STEP_WATCHDOG_S=${FNC_STEP_WATCHDOG_S:-300} \
   timeout "${OA_ATTEMPT_S:-2400}" python main.py \
     --name "$CRIT" \
     --slam_config configs/mp3d_gaussian_FR_eccv_gaussians.yaml \
@@ -25,6 +26,7 @@ for CRIT in ${1:-fisher topt dopt}; do
     --object_scene --dynamic_scene \
     --max_steps "$STEPS" --eval_poses 0 \
     --log_dir "$OUT" --seed 0 \
-    --set criterion "$CRIT" --set checkpoint_interval 100 $EXTRA \
+    --set criterion "$CRIT" --set policy.name gaussians_based \
+    --set checkpoint_interval 100 $EXTRA \
     || exit $?
 done
