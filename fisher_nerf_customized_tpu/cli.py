@@ -69,9 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     # the same escape hatch via cfg.merge_from_list); values go through
     # literal_eval so `--set checkpoint_interval 100` lands as an int
     p.add_argument("--set", dest="opts", nargs="*", default=None,
-                   metavar="KEY VALUE",
+                   action="append", metavar="KEY VALUE",
                    help="config overrides applied last: KEY VALUE "
-                        "[KEY VALUE ...] (dotted keys allowed)")
+                        "[KEY VALUE ...] (dotted keys allowed; the flag "
+                        "may repeat — every occurrence applies, unlike "
+                        "bare nargs='*' which silently keeps the last)")
     return p
 
 
@@ -103,8 +105,9 @@ def load_config(args):
         cfg.num_frames = min(int(cfg.num_frames), 40)
     if getattr(args, "opts", None):
         import ast
+        flat = [v for group in args.opts for v in group]
         vals = []
-        for i, v in enumerate(args.opts):
+        for i, v in enumerate(flat):
             if i % 2 == 1:
                 try:
                     v = ast.literal_eval(v)
