@@ -1236,13 +1236,18 @@ class GaussianSLAM:
         n = int(data["n_active"])
         self._ensure_capacity(n)
         cap = self.state.capacity
+        # checkpoints store FULL-capacity arrays; a resumed process may
+        # re-grow to a smaller capacity than the saver's (growth doubles
+        # from n_active) — only the first n_active rows are live, so
+        # slice rather than broadcast (r5 sweep resume crash)
+        m = min(n, cap)
         params = {}
         for k in PARAM_KEYS:
             arr = np.zeros((cap,) + data[k].shape[1:], np.float32)
-            arr[: data[k].shape[0]] = data[k]
+            arr[:m] = data[k][:m]
             params[k] = jnp.asarray(arr)
         ts = np.zeros((cap,), np.float32)
-        ts[: data["timestep"].shape[0]] = data["timestep"]
+        ts[:m] = data["timestep"][:m]
         self.state = self.state.replace_params(params)._replace(
             timestep=jnp.asarray(ts), n_active=jnp.asarray(n, jnp.int32))
         self._param_version += 1
